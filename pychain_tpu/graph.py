@@ -1,0 +1,324 @@
+"""Chain graphs: Python-facing graph objects and batched, device-ready tensors.
+
+API-parity layer with the reference's ``pychain/graph.py``:
+
+* :class:`ChainGraph` — one FST lowered to transition tensors, with
+  ``initial_mode``/``final_mode``/``log_domain`` semantics matching
+  graph.py:25-70 of the reference,
+* :class:`ChainGraphBatch` — a batch of graphs padded to static shapes
+  (graph.py:73-194), registered as a JAX pytree so it can be passed
+  straight into jitted functions.
+
+TPU-first differences from the reference:
+
+* ``ChainGraphBatch`` keeps a ``shared`` flag when built by broadcasting a
+  single graph (the denominator case).  The forward-backward kernels use
+  it to keep one un-batched copy of the graph (gathers become row
+  gathers over a shared index vector instead of per-sequence gathers).
+* Padding arcs carry probability 0 (prob domain) or -inf (log domain) so
+  that fully-vectorised arc sweeps are no-ops on padding.  The reference
+  pads probs with 0 in both domains but never *visits* padded arcs
+  because its CSR loops stop at ``end`` (graph.py:128-139); visiting them
+  with a neutral weight is numerically identical.
+* Batches do NOT need to be sorted by decreasing length; masking replaces
+  ``pack_padded_sequence``.  ``reorder`` is kept for API compatibility.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .graphs.compiler import CompiledGraph, compile_fst, leaky_probs as _leaky_probs
+from .graphs.fst import FST, n_arcs, n_states
+
+NEG_INF = float("-inf")
+
+
+class ChainGraph:
+    """One chain-training graph (numerator or denominator).
+
+    Mirrors reference graph.py:23-70: lowers the FST, computes leaky-HMM
+    priors (prob domain), and builds initial/final state distributions.
+    """
+
+    def __init__(self, fst: FST, initial_mode: str = "fst",
+                 final_mode: str = "fst", log_domain: bool = False):
+        assert initial_mode in ("fst", "leaky")
+        assert final_mode in ("fst", "ones")
+        if n_states(fst) == 0 or n_arcs(fst) == 0:
+            raise Exception("An empty graph encountered!")  # graph.py:69-70
+        self.log_domain = log_domain
+        g = compile_fst(fst, log_domain=log_domain)
+        self.num_states = g.num_states
+        self.num_transitions = g.num_transitions
+        self.start_state = g.start_state
+        self.is_empty = False
+
+        self.forward_transitions = g.forward_transitions
+        self.forward_transition_probs = g.forward_transition_probs
+        self.forward_transition_indices = g.forward_transition_indices
+        self.backward_transitions = g.backward_transitions
+        self.backward_transition_probs = g.backward_transition_probs
+        self.backward_transition_indices = g.backward_transition_indices
+        self.final_probs = g.final_probs
+
+        S = self.num_states
+        if log_domain:
+            # graph.py:54-59 — no leaky HMM in log domain.
+            assert initial_mode == "fst", \
+                "'leaky' mode is incompatible with log domain"
+            self.leaky_probs = None
+            self.initial_probs = np.full(S, NEG_INF, np.float32)
+            self.initial_probs[self.start_state] = 0.0
+            if final_mode == "ones":
+                self.final_probs = np.zeros(S, np.float32)
+        else:
+            # graph.py:61-68.
+            self.leaky_probs = _leaky_probs(fst)
+            if initial_mode == "fst":
+                self.initial_probs = np.zeros(S, np.float32)
+                self.initial_probs[self.start_state] = 1.0
+            else:
+                self.initial_probs = self.leaky_probs.copy()
+            if final_mode == "ones":
+                self.final_probs = np.ones(S, np.float32)
+
+    @classmethod
+    def from_compiled(cls, g: CompiledGraph, initial_probs, leaky_probs=None):
+        """Build directly from a CompiledGraph (bypasses FST lowering)."""
+        self = cls.__new__(cls)
+        self.log_domain = g.log_domain
+        self.num_states = g.num_states
+        self.num_transitions = g.num_transitions
+        self.start_state = g.start_state
+        self.is_empty = False
+        self.forward_transitions = g.forward_transitions
+        self.forward_transition_probs = g.forward_transition_probs
+        self.forward_transition_indices = g.forward_transition_indices
+        self.backward_transitions = g.backward_transitions
+        self.backward_transition_probs = g.backward_transition_probs
+        self.backward_transition_indices = g.backward_transition_indices
+        self.final_probs = g.final_probs
+        self.initial_probs = np.asarray(initial_probs, np.float32)
+        self.leaky_probs = None if leaky_probs is None else np.asarray(
+            leaky_probs, np.float32)
+        return self
+
+
+class ChainGraphBatch:
+    """A batch of graphs padded to common static shapes (graph.py:73-194).
+
+    Constructed either from a single :class:`ChainGraph` plus
+    ``batch_size`` (broadcast; used for the shared denominator graph) or
+    from a list of graphs plus ``max_num_transitions``/``max_num_states``.
+
+    Device arrays live in the following fields (jnp, batched):
+    ``forward_transitions`` (B, K, 3), ``forward_transition_probs`` (B, K),
+    ``forward_transition_indices`` (B, S, 2), the ``backward_*``
+    counterparts, ``initial_probs``/``final_probs``/``leaky_probs`` (B, S),
+    ``start_state`` (B,).  When ``shared`` is True the same content is
+    also available un-batched via ``shared_*`` attributes.
+    """
+
+    def __init__(self, graphs, batch_size=None, max_num_transitions=None,
+                 max_num_states=None):
+        if isinstance(graphs, ChainGraph):
+            if not batch_size:
+                raise ValueError(
+                    "batch size should be specified to expand a single graph")
+            self.batch_size = int(batch_size)
+            self._init_by_one(graphs)
+        elif isinstance(graphs, (list, tuple)):
+            if not max_num_transitions:
+                raise ValueError(
+                    "max_num_transitions should be specified if given a "
+                    "a list of ChainGraph objects to initialize from")
+            if not max_num_states:
+                raise ValueError(
+                    "max_num_states should be specified if given a "
+                    "a list of ChainGraph objects to initialize from")
+            self.batch_size = len(graphs)
+            self._init_by_list(list(graphs), int(max_num_transitions),
+                               int(max_num_states))
+        else:
+            raise ValueError(
+                "ChainGraphBatch should be either initialized by a single "
+                "ChainGraph object or a list of ChainGraph objects but "
+                "given {}".format(type(graphs)))
+
+    # -- broadcast constructor (graph.py:101-120) -----------------------
+    def _init_by_one(self, graph: ChainGraph):
+        self.log_domain = graph.log_domain
+        self.shared = True
+        self.num_states = graph.num_states
+        self.num_transitions = graph.num_transitions
+
+        t = graph.forward_transitions
+        self._fwd_src = jnp.asarray(t[:, 0])
+        self._fwd_dst = jnp.asarray(t[:, 1])
+        self._fwd_pdf = jnp.asarray(t[:, 2])
+        self._fwd_prob = jnp.asarray(graph.forward_transition_probs)
+        t = graph.backward_transitions
+        self._bwd_src = jnp.asarray(t[:, 0])
+        self._bwd_dst = jnp.asarray(t[:, 1])
+        self._bwd_pdf = jnp.asarray(t[:, 2])
+        self._bwd_prob = jnp.asarray(graph.backward_transition_probs)
+        self._initial = jnp.asarray(graph.initial_probs)
+        self._final = jnp.asarray(graph.final_probs)
+        self._leaky = (None if graph.leaky_probs is None
+                       else jnp.asarray(graph.leaky_probs))
+        self._fwd_indices = jnp.asarray(graph.forward_transition_indices)
+        self._bwd_indices = jnp.asarray(graph.backward_transition_indices)
+        self._start = jnp.full((self.batch_size,), graph.start_state,
+                               dtype=jnp.int32)
+
+    # -- list constructor (graph.py:122-175) -----------------------------
+    def _init_by_list(self, graphs, max_k, max_s):
+        g0 = graphs[0]
+        self.log_domain = g0.log_domain
+        self.shared = False
+        self.num_states = max_s
+        self.num_transitions = max_k
+        B = self.batch_size
+        pad_log = NEG_INF if self.log_domain else 0.0
+
+        fwd_t = np.zeros((B, max_k, 3), np.int32)
+        bwd_t = np.zeros((B, max_k, 3), np.int32)
+        fwd_p = np.full((B, max_k), pad_log, np.float32)
+        bwd_p = np.full((B, max_k), pad_log, np.float32)
+        fwd_i = np.zeros((B, max_s, 2), np.int32)
+        bwd_i = np.zeros((B, max_s, 2), np.int32)
+        if self.log_domain:
+            initial = np.full((B, max_s), NEG_INF, np.float32)
+            final = np.full((B, max_s), NEG_INF, np.float32)
+            leaky = None
+        else:
+            initial = np.zeros((B, max_s), np.float32)
+            final = np.zeros((B, max_s), np.float32)
+            leaky = np.zeros((B, max_s), np.float32)
+        start = np.zeros(B, np.int32)
+
+        for i, g in enumerate(graphs):
+            k, s = g.num_transitions, g.num_states
+            if k > max_k or s > max_s:
+                raise ValueError(
+                    f"graph {i} exceeds padding shape: K={k}>{max_k} or "
+                    f"S={s}>{max_s}")
+            fwd_t[i, :k] = g.forward_transitions
+            bwd_t[i, :k] = g.backward_transitions
+            fwd_p[i, :k] = g.forward_transition_probs
+            bwd_p[i, :k] = g.backward_transition_probs
+            fwd_i[i, :s] = g.forward_transition_indices
+            bwd_i[i, :s] = g.backward_transition_indices
+            initial[i, :s] = g.initial_probs
+            final[i, :s] = g.final_probs
+            if leaky is not None and g.leaky_probs is not None:
+                leaky[i, :s] = g.leaky_probs
+            start[i] = g.start_state
+
+        self._fwd_src = jnp.asarray(fwd_t[..., 0])
+        self._fwd_dst = jnp.asarray(fwd_t[..., 1])
+        self._fwd_pdf = jnp.asarray(fwd_t[..., 2])
+        self._fwd_prob = jnp.asarray(fwd_p)
+        self._bwd_src = jnp.asarray(bwd_t[..., 0])
+        self._bwd_dst = jnp.asarray(bwd_t[..., 1])
+        self._bwd_pdf = jnp.asarray(bwd_t[..., 2])
+        self._bwd_prob = jnp.asarray(bwd_p)
+        self._initial = jnp.asarray(initial)
+        self._final = jnp.asarray(final)
+        self._leaky = None if leaky is None else jnp.asarray(leaky)
+        self._fwd_indices = jnp.asarray(fwd_i)
+        self._bwd_indices = jnp.asarray(bwd_i)
+        self._start = jnp.asarray(start)
+
+    # -- API-compat views (always batched, like the reference) -----------
+    def _bcast(self, v):
+        if v is None or not self.shared:
+            return v
+        return jnp.broadcast_to(v, (self.batch_size,) + v.shape)
+
+    @property
+    def forward_transitions(self):
+        return self._bcast(
+            jnp.stack([self._fwd_src, self._fwd_dst, self._fwd_pdf], -1))
+
+    @property
+    def backward_transitions(self):
+        return self._bcast(
+            jnp.stack([self._bwd_src, self._bwd_dst, self._bwd_pdf], -1))
+
+    @property
+    def forward_transition_probs(self):
+        return self._bcast(self._fwd_prob)
+
+    @property
+    def backward_transition_probs(self):
+        return self._bcast(self._bwd_prob)
+
+    @property
+    def forward_transition_indices(self):
+        return self._bcast(self._fwd_indices)
+
+    @property
+    def backward_transition_indices(self):
+        return self._bcast(self._bwd_indices)
+
+    @property
+    def initial_probs(self):
+        return self._bcast(self._initial)
+
+    @property
+    def final_probs(self):
+        return self._bcast(self._final)
+
+    @property
+    def leaky_probs(self):
+        return self._bcast(self._leaky)
+
+    @property
+    def start_state(self):
+        return self._start
+
+    def reorder(self, new_order):
+        """Permute the batch (graph.py:177-194).  Kept for API parity; the
+        TPU implementation does not require length-sorted batches."""
+        if self.shared:
+            return  # broadcasting a single graph: permutation is identity
+        idx = jnp.asarray(new_order)
+        for name in ("_fwd_src", "_fwd_dst", "_fwd_pdf", "_fwd_prob",
+                     "_bwd_src", "_bwd_dst", "_bwd_pdf", "_bwd_prob",
+                     "_initial", "_final", "_leaky", "_fwd_indices",
+                     "_bwd_indices", "_start"):
+            v = getattr(self, name)
+            if v is not None:
+                setattr(self, name, jnp.take(v, idx, axis=0))
+
+    # -- pytree protocol --------------------------------------------------
+    _leaves = ("_fwd_src", "_fwd_dst", "_fwd_pdf", "_fwd_prob",
+               "_bwd_src", "_bwd_dst", "_bwd_pdf", "_bwd_prob",
+               "_initial", "_final", "_leaky", "_fwd_indices",
+               "_bwd_indices", "_start")
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, n) for n in self._leaves)
+        aux = (self.batch_size, self.log_domain, self.shared,
+               self.num_states, self.num_transitions)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        self = cls.__new__(cls)
+        (self.batch_size, self.log_domain, self.shared,
+         self.num_states, self.num_transitions) = aux
+        for n, v in zip(cls._leaves, children):
+            setattr(self, n, v)
+        return self
+
+
+jax.tree_util.register_pytree_node(
+    ChainGraphBatch,
+    ChainGraphBatch.tree_flatten,
+    ChainGraphBatch.tree_unflatten,
+)

@@ -1,0 +1,180 @@
+"""Chain (LF-MMI) loss: the differentiable public API.
+
+API-parity layer with the reference's ``pychain/loss.py``:
+
+* :func:`chain_function` / :class:`ChainFunction` — equivalent of the
+  reference's ``torch.autograd.Function`` (loss.py:27-87): clamps the
+  nnet output to [-30, 30], runs the fused forward-backward, returns the
+  summed log-likelihood; the gradient w.r.t. the input is the cached
+  occupation posterior gamma scaled by the output cotangent
+  (loss.py:82-87).
+* :class:`ChainLoss` / :func:`chain_loss` — the module combining the
+  shared denominator graph with per-utterance numerator graphs:
+  ``objf = -(num - den) [/ sum(lengths)]`` (loss.py:90-105).
+
+The whole fused fwd+bwd lives behind ``jax.custom_vjp``: the expensive
+work happens once in the primal pass, the VJP is an elementwise multiply —
+exactly the reference's "compute gamma in forward, multiply in backward"
+structure, but jit-compatible and transformable (vmap/pjit/grad).
+
+Improvement over the reference: the per-sequence sanity flag computed by
+the native engine (chain-computation.cc:345-391) is surfaced via
+``chain_function_with_aux`` instead of being silently dropped
+(reference loss.py:44/62 discards ``ok``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .graph import ChainGraph, ChainGraphBatch
+from .ops.fwdbwd import (
+    GraphArrays,
+    FwdBwdResult,
+    forward_backward_log,
+    forward_backward_prob,
+)
+
+CLAMP = 30.0  # reference loss.py:30
+
+
+def graph_arrays(batch: ChainGraphBatch) -> GraphArrays:
+    """View a ChainGraphBatch as the kernel-facing GraphArrays pytree."""
+    return GraphArrays(
+        fwd_src=batch._fwd_src, fwd_dst=batch._fwd_dst,
+        fwd_pdf=batch._fwd_pdf, fwd_prob=batch._fwd_prob,
+        bwd_src=batch._bwd_src, bwd_dst=batch._bwd_dst,
+        bwd_pdf=batch._bwd_pdf, bwd_prob=batch._bwd_prob,
+        initial=batch._initial, final=batch._final,
+        leaky=batch._leaky, shared=batch.shared,
+    )
+
+
+def _zero_ct(x):
+    """A zero cotangent matching x's type (float0 for integer leaves)."""
+    if x is None:
+        return None
+    if jnp.issubdtype(jnp.result_type(x), jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
+def _run(x, lengths, g: GraphArrays, leaky_coefficient) -> FwdBwdResult:
+    x = jnp.clip(x, -CLAMP, CLAMP)
+    lengths = lengths.astype(jnp.int32)
+    if g.leaky is not None:
+        return forward_backward_prob(jnp.exp(x), lengths, g,
+                                     leaky_coefficient)
+    return forward_backward_log(x, lengths, g)
+
+
+# -- custom_vjp core ----------------------------------------------------
+
+@jax.custom_vjp
+def _chain_objf(x, lengths, g: GraphArrays, leaky_coefficient):
+    res = _run(x, lengths, g, leaky_coefficient)
+    return res.objf.sum()
+
+
+def _chain_objf_fwd(x, lengths, g, leaky_coefficient):
+    res = _run(x, lengths, g, leaky_coefficient)
+    return res.objf.sum(), (res.gamma, lengths, g, leaky_coefficient)
+
+
+def _chain_objf_bwd(saved, ct):
+    gamma, lengths, g, leaky_coefficient = saved
+    return (gamma * ct,
+            _zero_ct(lengths),
+            jax.tree.map(_zero_ct, g),
+            _zero_ct(leaky_coefficient))
+
+
+_chain_objf.defvjp(_chain_objf_fwd, _chain_objf_bwd)
+
+
+# -- public functional API ----------------------------------------------
+
+def chain_function(x, x_lengths, graphs, leaky_coefficient=1e-5):
+    """Total chain log-likelihood, summed over the batch.
+
+    Equivalent of ``ChainFunction.apply`` (reference loss.py:29-80):
+    x (B, T, P) nnet log-likelihoods, x_lengths (B,), graphs a
+    :class:`ChainGraphBatch` (or GraphArrays).  Differentiable in x; the
+    gradient is the occupation posterior.  Unlike the reference, the
+    batch does NOT need to be sorted by decreasing length.
+    """
+    g = graphs if isinstance(graphs, GraphArrays) else graph_arrays(graphs)
+    if isinstance(graphs, ChainGraphBatch) and x.shape[0] != graphs.batch_size:
+        raise ValueError(
+            "input batch size ({}) does not equal to graph batch size ({})"
+            .format(x.shape[0], graphs.batch_size))
+    return _chain_objf(x, jnp.asarray(x_lengths), g,
+                       jnp.asarray(leaky_coefficient, dtype=x.dtype))
+
+
+def chain_function_with_aux(x, x_lengths, graphs, leaky_coefficient=1e-5):
+    """Like :func:`chain_function` but also returns diagnostics:
+    (objf, aux) with aux.objf per-sequence, aux.ok per-sequence sanity
+    flags, and the per-frame invariant traces."""
+    g = graphs if isinstance(graphs, GraphArrays) else graph_arrays(graphs)
+    res = _run(x, jnp.asarray(x_lengths), g,
+               jnp.asarray(leaky_coefficient, dtype=x.dtype))
+    # Reuse the custom_vjp path for the differentiable scalar.
+    objf = _chain_objf(x, jnp.asarray(x_lengths), g,
+                       jnp.asarray(leaky_coefficient, dtype=x.dtype))
+    return objf, res
+
+
+class ChainFunction:
+    """Drop-in shim for ``pychain.ChainFunction`` (loss.py:27-87)."""
+
+    @staticmethod
+    def apply(x, x_lengths, graphs, leaky_coefficient=1e-5):
+        return chain_function(x, x_lengths, graphs, leaky_coefficient)
+
+
+def chain_loss(x, x_lengths, num_graphs, den_graph_batch,
+               leaky_coefficient=1e-5, avg=True):
+    """Functional ChainLoss (reference loss.py:97-105):
+    ``objf = -(num_objf - den_objf) [/ sum(x_lengths)]``."""
+    den_objf = chain_function(x, x_lengths, den_graph_batch,
+                              leaky_coefficient)
+    num_objf = chain_function(x, x_lengths, num_graphs)
+    objf = -(num_objf - den_objf)
+    if avg:
+        objf = objf / jnp.asarray(x_lengths).sum()
+    return objf
+
+
+class ChainLoss:
+    """Drop-in equivalent of ``pychain.ChainLoss`` (loss.py:90-105).
+
+    Holds the single denominator graph; the per-utterance numerator
+    graphs are passed at call time.  Callable as
+    ``loss = ChainLoss(den_graph)(x, x_lengths, num_graphs)``.
+    """
+
+    def __init__(self, den_graph: ChainGraph, leaky_coefficient=1e-5,
+                 avg=True):
+        self.den_graph = den_graph
+        self.leaky_coefficient = leaky_coefficient
+        self.avg = avg
+        self._den_batches = {}  # batch_size -> ChainGraphBatch cache
+
+    def den_batch(self, batch_size: int) -> ChainGraphBatch:
+        if batch_size not in self._den_batches:
+            self._den_batches[batch_size] = ChainGraphBatch(
+                self.den_graph, batch_size)
+        return self._den_batches[batch_size]
+
+    def __call__(self, x, x_lengths, num_graphs):
+        return self.forward(x, x_lengths, num_graphs)
+
+    def forward(self, x, x_lengths, num_graphs):
+        den_graphs = self.den_batch(x.shape[0])
+        return chain_loss(x, x_lengths, num_graphs, den_graphs,
+                          self.leaky_coefficient, self.avg)

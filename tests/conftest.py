@@ -1,0 +1,21 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests use
+XLA's host-platform device virtualisation instead.  Must be set before
+jax initialises.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: scan-heavy tests are compile-bound.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
