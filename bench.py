@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Headline benchmark: denominator-graph forward-backward throughput.
+
+Config per BASELINE.json: B=128 utterances, T=500 frames, trigram-
+phone-LM-like denominator graph with ~3000 states, full fwd+bwd with
+occupation-posterior gradients (i.e. one jax.grad of chain_function).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": utts/sec/chip, "unit": "utts/sec",
+   "vs_baseline": value / reference-CPU utts/sec}
+
+The reference publishes no numbers (BASELINE.md); the baseline is the
+reference's own CPU engine measured on this host by
+tools/measure_baseline.py -> BASELINE_MEASURED.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from pychain_tpu import ChainGraph, ChainGraphBatch  # noqa: E402
+from pychain_tpu.loss import chain_function, graph_arrays  # noqa: E402
+from pychain_tpu.utils.testgraphs import denominator_fst  # noqa: E402
+
+QUICK = "--quick" in sys.argv
+B, T = (16, 100) if QUICK else (128, 500)
+NUM_PHONES, FANOUT = (100, 10) if QUICK else (1500, 30)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    den_fst, P = denominator_fst(num_phones=NUM_PHONES, states_per_phone=2,
+                                 seed=0, bigram_fanout=FANOUT)
+    den = ChainGraph(den_fst, log_domain=False)
+    g = graph_arrays(ChainGraphBatch(den, B))
+    S, K = den.num_states, den.num_transitions
+    print(f"# backend={jax.default_backend()} devices={jax.devices()} "
+          f"B={B} T={T} S={S} K={K} P={P}", file=sys.stderr)
+
+    # Generate on device; pass graphs as jit ARGUMENTS (closure constants
+    # force slow device->host reads during lowering on tunneled backends).
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, P), jnp.float32)
+    lengths = jnp.full((B,), T, jnp.int32)
+
+    grad_fn = jax.jit(jax.value_and_grad(chain_function))
+
+    t0 = time.time()
+    objf, grad = grad_fn(x, lengths, g)
+    jax.block_until_ready(grad)
+    print(f"# compile+first-run {time.time()-t0:.1f}s objf={float(objf):.4f}",
+          file=sys.stderr)
+
+    iters = 3 if QUICK else 5
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        objf, grad = grad_fn(x, lengths, g)
+        jax.block_until_ready(grad)
+        times.append(time.time() - t0)
+    best = min(times)
+    utts_per_sec = B / best
+    print(f"# per-batch seconds: {['%.3f' % t for t in times]}",
+          file=sys.stderr)
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        ref_ups = ref.get("reference_cpu", {}).get("utts_per_sec")
+        if ref_ups:
+            vs_baseline = utts_per_sec / ref_ups
+
+    print(json.dumps({
+        "metric": f"den-graph fwd-bwd utts/sec/chip "
+                  f"(B={B},T={T},S={S},K={K},P={P})",
+        "value": round(utts_per_sec, 2),
+        "unit": "utts/sec",
+        "vs_baseline": (round(vs_baseline, 2)
+                        if vs_baseline is not None else None),
+    }))
+
+
+if __name__ == "__main__":
+    main()

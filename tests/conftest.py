@@ -1,8 +1,10 @@
 """Test configuration: run the suite on a virtual 8-device CPU mesh.
 
 Multi-chip TPU hardware is not available in CI; sharding tests use
-XLA's host-platform device virtualisation instead.  Must be set before
-jax initialises.
+XLA's host-platform device virtualisation instead.  Note: the
+environment's axon site-hook rewrites JAX_PLATFORMS at interpreter
+startup, so the env var alone is NOT enough — jax.config must be set
+explicitly before any device access.
 """
 
 import os
@@ -15,6 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: scan-heavy tests are compile-bound.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

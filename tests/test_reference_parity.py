@@ -1,0 +1,126 @@
+"""Numerical parity against the ACTUAL reference implementation.
+
+Requires the reference's CPU engine built via
+``python tools/build_reference_baseline.py`` (skipped otherwise).
+Feeds byte-identical graph tensors and inputs to both engines and
+compares total log-likelihood and occupation-posterior gradients.
+Parity target: |delta| <= 1e-4 (BASELINE.json) — the reference CPU path
+is exact (no randomised pruning, unlike its CUDA path).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/tmp/refbuild")
+pychain_C = pytest.importorskip("pychain_C")
+
+import jax.numpy as jnp  # noqa: E402
+
+from pychain_tpu import ChainGraph, ChainGraphBatch  # noqa: E402
+from pychain_tpu.loss import chain_function_with_aux  # noqa: E402
+from pychain_tpu.utils.testgraphs import (  # noqa: E402
+    denominator_fst, linear_fst, random_fst)
+
+
+def _batch_sizes(lengths, T):
+    """Per-frame active-sequence counts (pack_padded_sequence semantics;
+    requires sorted non-increasing lengths, which the reference needs)."""
+    lengths = np.asarray(lengths)
+    assert np.all(np.diff(lengths) <= 0), "reference needs sorted batch"
+    return torch.tensor(
+        [(lengths > t).sum() for t in range(T)], dtype=torch.long)
+
+
+def _ref_forward_backward(batch, x, lengths, leaky=1e-5):
+    """Call the reference engine on a prob-domain ChainGraphBatch."""
+    B, T, P = x.shape
+    t = lambda a, dt: torch.from_numpy(np.ascontiguousarray(a)).to(dt)
+    fwd_t = t(np.asarray(batch.forward_transitions), torch.int32)
+    fwd_i = t(np.asarray(batch.forward_transition_indices), torch.int32)
+    fwd_p = t(np.asarray(batch.forward_transition_probs), torch.float32)
+    bwd_t = t(np.asarray(batch.backward_transitions), torch.int32)
+    bwd_i = t(np.asarray(batch.backward_transition_indices), torch.int32)
+    bwd_p = t(np.asarray(batch.backward_transition_probs), torch.float32)
+    init = t(np.asarray(batch.initial_probs), torch.float32)
+    final = t(np.asarray(batch.final_probs), torch.float32)
+    start = t(np.asarray(batch.start_state), torch.long)
+    xin = torch.from_numpy(np.clip(x, -30, 30))
+    bs = _batch_sizes(lengths, T)
+    ls = torch.from_numpy(np.asarray(lengths)).to(torch.long)
+    if not batch.log_domain:
+        leaky_t = t(np.asarray(batch.leaky_probs), torch.float32)
+        objf, grad, ok = pychain_C.forward_backward(
+            fwd_t, fwd_i, fwd_p, bwd_t, bwd_i, bwd_p,
+            leaky_t, init, final, start, xin.exp(), bs, ls,
+            batch.num_states, leaky)
+        return float(objf), grad.numpy(), bool(ok)
+    objf, log_grad, ok = pychain_C.forward_backward_log_domain(
+        fwd_t, fwd_i, fwd_p, bwd_t, bwd_i, bwd_p,
+        init, final, start, xin, bs, ls, batch.num_states)
+    return float(objf), log_grad.exp().numpy(), bool(ok)
+
+
+def _ours(batch, x, lengths, leaky=1e-5):
+    objf, res = chain_function_with_aux(
+        jnp.asarray(x), jnp.asarray(lengths), batch,
+        leaky_coefficient=leaky)
+    return float(objf), np.asarray(res.gamma), np.asarray(res.ok)
+
+
+def test_parity_denominator_prob_domain():
+    rng = np.random.RandomState(0)
+    den_fst, P = denominator_fst(num_phones=30, states_per_phone=2, seed=0)
+    den = ChainGraph(den_fst, log_domain=False)
+    B, T = 8, 50
+    lengths = np.array([50, 50, 45, 40, 30, 20, 10, 5], np.int32)
+    x = rng.randn(B, T, P).astype(np.float32)
+    batch = ChainGraphBatch(den, B)
+
+    ref_objf, ref_grad, ref_ok = _ref_forward_backward(batch, x, lengths)
+    objf, gamma, ok = _ours(batch, x, lengths)
+
+    assert ref_ok and np.all(ok)
+    assert abs(objf - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
+    np.testing.assert_allclose(gamma, ref_grad, rtol=2e-3, atol=2e-5)
+
+
+def test_parity_numerator_log_domain():
+    rng = np.random.RandomState(1)
+    B, T, P = 6, 30, 20
+    graphs = [ChainGraph(linear_fst(rng.randint(0, P, size=t)),
+                         log_domain=True)
+              for t in [30, 28, 25, 20, 15, 10]]
+    lengths = np.array([30, 28, 25, 20, 15, 10], np.int32)
+    x = rng.randn(B, T, P).astype(np.float32)
+    batch = ChainGraphBatch(
+        graphs, max_num_transitions=max(g.num_transitions for g in graphs),
+        max_num_states=max(g.num_states for g in graphs))
+
+    ref_objf, ref_grad, ref_ok = _ref_forward_backward(batch, x, lengths)
+    objf, gamma, ok = _ours(batch, x, lengths)
+
+    assert ref_ok and np.all(ok)
+    assert abs(objf - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
+    np.testing.assert_allclose(gamma, ref_grad, rtol=2e-3, atol=2e-5)
+
+
+def test_parity_random_graph_batch_log_domain():
+    rng = np.random.RandomState(2)
+    B, T, P = 4, 12, 8
+    graphs = [ChainGraph(random_fst(num_states=6 + b, num_pdfs=P,
+                                    seed=100 + b), log_domain=True)
+              for b in range(B)]
+    lengths = np.array([12, 9, 6, 3], np.int32)
+    x = rng.randn(B, T, P).astype(np.float32)
+    batch = ChainGraphBatch(
+        graphs, max_num_transitions=max(g.num_transitions for g in graphs),
+        max_num_states=max(g.num_states for g in graphs))
+
+    ref_objf, ref_grad, _ = _ref_forward_backward(batch, x, lengths)
+    objf, gamma, _ = _ours(batch, x, lengths)
+    assert abs(objf - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
+    np.testing.assert_allclose(gamma, ref_grad, rtol=2e-3, atol=2e-5)
