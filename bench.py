@@ -27,10 +27,11 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from pychain_tpu import ChainGraph, ChainGraphBatch  # noqa: E402
-from pychain_tpu.loss import chain_function, graph_arrays  # noqa: E402
+from pychain_tpu.loss import chain_function, dispatch_arrays  # noqa: E402
 from pychain_tpu.utils.testgraphs import denominator_fst  # noqa: E402
 
 QUICK = "--quick" in sys.argv
+IMPL = "gather" if "--gather" in sys.argv else "auto"
 B, T = (16, 100) if QUICK else (128, 500)
 NUM_PHONES, FANOUT = (100, 10) if QUICK else (1500, 30)
 
@@ -40,7 +41,7 @@ def main():
     den_fst, P = denominator_fst(num_phones=NUM_PHONES, states_per_phone=2,
                                  seed=0, bigram_fanout=FANOUT)
     den = ChainGraph(den_fst, log_domain=False)
-    g = graph_arrays(ChainGraphBatch(den, B))
+    g = dispatch_arrays(ChainGraphBatch(den, B), impl=IMPL)
     S, K = den.num_states, den.num_transitions
     print(f"# backend={jax.default_backend()} devices={jax.devices()} "
           f"B={B} T={T} S={S} K={K} P={P}", file=sys.stderr)

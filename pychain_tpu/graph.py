@@ -155,6 +155,16 @@ class ChainGraphBatch:
         self.num_states = graph.num_states
         self.num_transitions = graph.num_transitions
 
+        # Factorized block-sparse form for the MXU fast path (prob domain).
+        self._fact = None
+        if not graph.log_domain:
+            from .graphs.factorize import factorize
+            from .ops.factorized import from_factorized_graph
+            fg = factorize(graph)
+            self._fact = from_factorized_graph(
+                fg, graph.initial_probs, graph.final_probs,
+                graph.leaky_probs)
+
         t = graph.forward_transitions
         self._fwd_src = jnp.asarray(t[:, 0])
         self._fwd_dst = jnp.asarray(t[:, 1])
@@ -179,6 +189,7 @@ class ChainGraphBatch:
         g0 = graphs[0]
         self.log_domain = g0.log_domain
         self.shared = False
+        self._fact = None
         self.num_states = max_s
         self.num_transitions = max_k
         B = self.batch_size
@@ -299,7 +310,7 @@ class ChainGraphBatch:
     _leaves = ("_fwd_src", "_fwd_dst", "_fwd_pdf", "_fwd_prob",
                "_bwd_src", "_bwd_dst", "_bwd_pdf", "_bwd_prob",
                "_initial", "_final", "_leaky", "_fwd_indices",
-               "_bwd_indices", "_start")
+               "_bwd_indices", "_start", "_fact")
 
     def tree_flatten(self):
         children = tuple(getattr(self, n) for n in self._leaves)

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .graph import ChainGraph, ChainGraphBatch
+from .ops.factorized import FactorizedArrays, forward_backward_prob_fact
 from .ops.fwdbwd import (
     GraphArrays,
     FwdBwdResult,
@@ -54,6 +55,25 @@ def graph_arrays(batch: ChainGraphBatch) -> GraphArrays:
     )
 
 
+def dispatch_arrays(graphs, impl: str = "auto"):
+    """Pick the kernel-facing pytree for a graph batch.
+
+    impl: "auto" (factorized MXU path for shared prob-domain graphs,
+    generic gather path otherwise), "gather", or "factorized".
+    """
+    if isinstance(graphs, (GraphArrays, FactorizedArrays)):
+        return graphs
+    if impl == "gather":
+        return graph_arrays(graphs)
+    fact = getattr(graphs, "_fact", None)
+    if fact is not None and (impl == "factorized" or impl == "auto"):
+        return fact
+    if impl == "factorized":
+        raise ValueError("factorized impl requires a shared prob-domain "
+                         "ChainGraphBatch (broadcast denominator)")
+    return graph_arrays(graphs)
+
+
 def _zero_ct(x):
     """A zero cotangent matching x's type (float0 for integer leaves)."""
     if x is None:
@@ -63,9 +83,12 @@ def _zero_ct(x):
     return np.zeros(jnp.shape(x), jax.dtypes.float0)
 
 
-def _run(x, lengths, g: GraphArrays, leaky_coefficient) -> FwdBwdResult:
+def _run(x, lengths, g, leaky_coefficient) -> FwdBwdResult:
     x = jnp.clip(x, -CLAMP, CLAMP)
     lengths = lengths.astype(jnp.int32)
+    if isinstance(g, FactorizedArrays):
+        return forward_backward_prob_fact(jnp.exp(x), lengths, g,
+                                          leaky_coefficient)
     if g.leaky is not None:
         return forward_backward_prob(jnp.exp(x), lengths, g,
                                      leaky_coefficient)
@@ -98,16 +121,18 @@ _chain_objf.defvjp(_chain_objf_fwd, _chain_objf_bwd)
 
 # -- public functional API ----------------------------------------------
 
-def chain_function(x, x_lengths, graphs, leaky_coefficient=1e-5):
+def chain_function(x, x_lengths, graphs, leaky_coefficient=1e-5,
+                   impl: str = "auto"):
     """Total chain log-likelihood, summed over the batch.
 
     Equivalent of ``ChainFunction.apply`` (reference loss.py:29-80):
     x (B, T, P) nnet log-likelihoods, x_lengths (B,), graphs a
-    :class:`ChainGraphBatch` (or GraphArrays).  Differentiable in x; the
-    gradient is the occupation posterior.  Unlike the reference, the
-    batch does NOT need to be sorted by decreasing length.
+    :class:`ChainGraphBatch` (or GraphArrays/FactorizedArrays).
+    Differentiable in x; the gradient is the occupation posterior.
+    Unlike the reference, the batch does NOT need to be sorted by
+    decreasing length.
     """
-    g = graphs if isinstance(graphs, GraphArrays) else graph_arrays(graphs)
+    g = dispatch_arrays(graphs, impl)
     if isinstance(graphs, ChainGraphBatch) and x.shape[0] != graphs.batch_size:
         raise ValueError(
             "input batch size ({}) does not equal to graph batch size ({})"
@@ -116,11 +141,12 @@ def chain_function(x, x_lengths, graphs, leaky_coefficient=1e-5):
                        jnp.asarray(leaky_coefficient, dtype=x.dtype))
 
 
-def chain_function_with_aux(x, x_lengths, graphs, leaky_coefficient=1e-5):
+def chain_function_with_aux(x, x_lengths, graphs, leaky_coefficient=1e-5,
+                            impl: str = "auto"):
     """Like :func:`chain_function` but also returns diagnostics:
     (objf, aux) with aux.objf per-sequence, aux.ok per-sequence sanity
     flags, and the per-frame invariant traces."""
-    g = graphs if isinstance(graphs, GraphArrays) else graph_arrays(graphs)
+    g = dispatch_arrays(graphs, impl)
     res = _run(x, jnp.asarray(x_lengths), g,
                jnp.asarray(leaky_coefficient, dtype=x.dtype))
     # Reuse the custom_vjp path for the differentiable scalar.
