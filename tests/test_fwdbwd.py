@@ -136,8 +136,10 @@ def test_prob_domain_batched_list_matches_shared():
     shared = ChainGraphBatch(den, B)
     listed = make_batch([den] * B)
     assert shared.shared and not listed.shared
-    _, res_a = chain_function_with_aux(x, lengths, shared)
-    _, res_b = chain_function_with_aux(x, lengths, listed)
+    # pin impl=gather: broadcast-vs-list equivalence should be exact; the
+    # factorized cross-implementation comparison lives in test_factorized
+    _, res_a = chain_function_with_aux(x, lengths, shared, impl="gather")
+    _, res_b = chain_function_with_aux(x, lengths, listed, impl="gather")
     np.testing.assert_allclose(np.asarray(res_a.objf),
                                np.asarray(res_b.objf), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(res_a.gamma),
