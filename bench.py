@@ -32,6 +32,7 @@ from pychain_tpu.utils.testgraphs import denominator_fst  # noqa: E402
 
 QUICK = "--quick" in sys.argv
 IMPL = "gather" if "--gather" in sys.argv else "auto"
+TILE_DTYPE = "bfloat16" if "--bf16" in sys.argv else None
 B, T = (16, 100) if QUICK else (128, 500)
 NUM_PHONES, FANOUT = (100, 10) if QUICK else (1500, 30)
 
@@ -41,7 +42,8 @@ def main():
     den_fst, P = denominator_fst(num_phones=NUM_PHONES, states_per_phone=2,
                                  seed=0, bigram_fanout=FANOUT)
     den = ChainGraph(den_fst, log_domain=False)
-    g = dispatch_arrays(ChainGraphBatch(den, B), impl=IMPL)
+    g = dispatch_arrays(ChainGraphBatch(den, B, tile_dtype=TILE_DTYPE),
+                        impl=IMPL)
     S, K = den.num_states, den.num_transitions
     print(f"# backend={jax.default_backend()} devices={jax.devices()} "
           f"B={B} T={T} S={S} K={K} P={P}", file=sys.stderr)
@@ -55,21 +57,27 @@ def main():
 
     t0 = time.time()
     objf, grad = grad_fn(x, lengths, g)
-    jax.block_until_ready(grad)
+    # Host-sync via a scalar read: block_until_ready is unreliable on
+    # tunneled backends and under-reports.
+    _ = float(objf) + float(grad[0, 0, 0])
     print(f"# compile+first-run {time.time()-t0:.1f}s objf={float(objf):.4f}",
           file=sys.stderr)
 
-    iters = 3 if QUICK else 5
-    times = []
-    for _ in range(iters):
+    # Amortised timing: enqueue N batches asynchronously, sync once —
+    # per-call host<->device sync costs ~35 ms on the tunneled backend
+    # and would otherwise dominate the measurement.
+    def timed(iters):
         t0 = time.time()
-        objf, grad = grad_fn(x, lengths, g)
-        jax.block_until_ready(grad)
-        times.append(time.time() - t0)
-    best = min(times)
+        for _ in range(iters):
+            o, gr = grad_fn(x, lengths, g)
+        _ = float(o) + float(gr[0, 0, 0])
+        return (time.time() - t0) / iters
+
+    iters = 3 if QUICK else 10
+    timed(2)  # warm the dispatch path
+    best = min(timed(iters) for _ in range(2))
     utts_per_sec = B / best
-    print(f"# per-batch seconds: {['%.3f' % t for t in times]}",
-          file=sys.stderr)
+    print(f"# amortized s/batch over {iters}: {best:.4f}", file=sys.stderr)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")

@@ -123,7 +123,8 @@ class ChainGraphBatch:
     """
 
     def __init__(self, graphs, batch_size=None, max_num_transitions=None,
-                 max_num_states=None):
+                 max_num_states=None, tile_dtype=None):
+        self._tile_dtype = tile_dtype
         if isinstance(graphs, ChainGraph):
             if not batch_size:
                 raise ValueError(
@@ -163,7 +164,7 @@ class ChainGraphBatch:
             fg = factorize(graph)
             self._fact = from_factorized_graph(
                 fg, graph.initial_probs, graph.final_probs,
-                graph.leaky_probs)
+                graph.leaky_probs, tile_dtype=self._tile_dtype)
 
         t = graph.forward_transitions
         self._fwd_src = jnp.asarray(t[:, 0])

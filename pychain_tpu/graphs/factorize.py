@@ -42,8 +42,35 @@ TILE = 128
 
 
 @dataclass
+class WParts:
+    """One transition matrix stratified for the MXU:
+
+    ``W = diag(diag) + dense (a single dense sub-block) + tiles``.
+
+    * ``diag`` (S_pad,): self-loop-like entries (dst == src); None for
+      rectangular matrices,
+    * ``dense`` (R, C) covering rows [r0, r0+R) x cols [c0, c0+C) — used
+      when the off-diagonal arcs cluster into a mostly-full rectangle
+      (the cross-phone block of a denominator graph); None otherwise,
+    * ``tiles`` (n, TILE, TILE) block-sparse remainder with block
+      row/col ids.
+    """
+    diag: np.ndarray | None
+    dense: np.ndarray | None
+    dense_r0: int
+    dense_c0: int
+    tiles: np.ndarray
+    rows: np.ndarray
+    cols: np.ndarray
+
+    @property
+    def num_tiles(self) -> int:
+        return int(self.tiles.shape[0])
+
+
+@dataclass
 class FactorizedGraph:
-    """Block-sparse factorized form of one prob-domain graph.
+    """Stratified factorized form of one prob-domain graph.
 
     All state-indexed quantities live in the PERMUTED numbering (see
     ``perm``: ``new = perm_inv[old]``); pdf-indexed quantities are
@@ -52,17 +79,14 @@ class FactorizedGraph:
 
     num_states: int          # original S (un-padded)
     s_pad: int
+    p_pad: int               # padded pdf-space width for the E matrices
     perm: np.ndarray         # (S,) old index of each new slot
-    # W1: dst-attached arcs.  Tiles (n1, TILE, TILE); block row/col ids.
-    w1_tiles: np.ndarray
-    w1_rows: np.ndarray
-    w1_cols: np.ndarray
+    w1: WParts               # dst-attached arcs
     f_dst: np.ndarray        # (S_pad,) pdf per (new) state for the W1 term
-    # W2: src-attached arcs.
-    w2_tiles: np.ndarray
-    w2_rows: np.ndarray
-    w2_cols: np.ndarray
+    e_f: WParts              # one-hot (S_pad x P_pad): x_dst = E_f @ x_t
+    w2: WParts               # src-attached arcs
     g_src: np.ndarray        # (S_pad,)
+    e_g: WParts
     # Residual arcs in new numbering (generic gather path); may be empty.
     res_src: np.ndarray
     res_dst: np.ndarray
@@ -71,7 +95,7 @@ class FactorizedGraph:
 
     @property
     def num_tiles(self) -> int:
-        return int(self.w1_tiles.shape[0] + self.w2_tiles.shape[0])
+        return self.w1.num_tiles + self.w2.num_tiles
 
 
 def _classify_arcs(src, dst, pdf):
@@ -113,14 +137,14 @@ def _role_order(src, dst, pdf, S, final_mask):
     return np.argsort(keys, kind="stable")  # (S,) old id per new slot
 
 
-def _build_tiles(rows, cols, vals, s_pad):
+def _build_tiles(rows, cols, vals, cols_pad):
     """Scatter COO entries into dense TILExTILE blocks; return the
     nonzero blocks sorted by (block_row, block_col)."""
     if len(rows) == 0:
         return (np.zeros((0, TILE, TILE), np.float32),
                 np.zeros(0, np.int32), np.zeros(0, np.int32))
     br, bc = rows // TILE, cols // TILE
-    nbt = s_pad // TILE
+    nbt = cols_pad // TILE
     bid = br * nbt + bc
     order = np.argsort(bid, kind="stable")
     rows, cols, vals, bid = rows[order], cols[order], vals[order], bid[order]
@@ -130,6 +154,49 @@ def _build_tiles(rows, cols, vals, s_pad):
     # accumulate duplicates (parallel arcs between the same state pair)
     np.add.at(tiles, (t_of_arc, rows % TILE, cols % TILE), vals)
     return tiles, (uniq // nbt).astype(np.int32), (uniq % nbt).astype(np.int32)
+
+
+def _build_wparts(rows, cols, vals, s_pad, cols_pad=None, square=True,
+                  dense_min_fill=0.4, dense_max_area=4 << 21) -> WParts:
+    """Stratify one matrix's COO entries into diag + dense box + tiles.
+
+    * exact-diagonal entries become a vector (elementwise, no matmul;
+      square matrices only),
+    * if the remaining entries' TILE-aligned bounding box is at least
+      ``dense_min_fill`` full of nonzero tiles (and not absurdly large),
+      they become one dense sub-block — a single MXU matmul per frame
+      with no per-tile gather/scatter intermediates,
+    * anything left becomes block-sparse tiles.
+    """
+    cols_pad = s_pad if cols_pad is None else cols_pad
+    diag = np.zeros(s_pad, np.float32)
+    if square:
+        on_diag = rows == cols
+        np.add.at(diag, rows[on_diag], vals[on_diag])
+        rows, cols, vals = rows[~on_diag], cols[~on_diag], vals[~on_diag]
+
+    dense = None
+    dense_r0 = dense_c0 = 0
+    if len(rows):
+        r0 = int(rows.min()) // TILE * TILE
+        r1 = (int(rows.max()) // TILE + 1) * TILE
+        c0 = int(cols.min()) // TILE * TILE
+        c1 = (int(cols.max()) // TILE + 1) * TILE
+        area_tiles = ((r1 - r0) // TILE) * ((c1 - c0) // TILE)
+        nz_tiles = len(set(zip(rows // TILE, cols // TILE)))
+        if (nz_tiles / area_tiles >= dense_min_fill
+                and (r1 - r0) * (c1 - c0) <= dense_max_area):
+            dense = np.zeros((r1 - r0, c1 - c0), np.float32)
+            np.add.at(dense, (rows - r0, cols - c0), vals)
+            dense_r0, dense_c0 = r0, c0
+            rows = np.zeros(0, np.int64)
+            cols = np.zeros(0, np.int64)
+            vals = np.zeros(0, np.float32)
+
+    tiles, trows, tcols = _build_tiles(rows, cols, vals, cols_pad)
+    return WParts(diag=diag if square else None, dense=dense,
+                  dense_r0=dense_r0, dense_c0=dense_c0, tiles=tiles,
+                  rows=trows, cols=tcols)
 
 
 def factorize(graph: CompiledGraph) -> FactorizedGraph:
@@ -160,19 +227,31 @@ def factorize(graph: CompiledGraph) -> FactorizedGraph:
     m1 = cls == 1
     m2 = cls == 2
     m0 = cls == 0
-    w1_tiles, w1_rows, w1_cols = _build_tiles(
-        ndst[m1], nsrc[m1], probs[m1], s_pad)
-    w2_tiles, w2_rows, w2_cols = _build_tiles(
-        ndst[m2], nsrc[m2], probs[m2], s_pad)
+    w1 = _build_wparts(ndst[m1], nsrc[m1], probs[m1], s_pad)
+    w2 = _build_wparts(ndst[m2], nsrc[m2], probs[m2], s_pad)
+
+    # One-hot emission maps as block-sparse matrices: x_dst = E_f @ x_t
+    # replaces an S-sized gather, and gamma += E_f^T @ c replaces an
+    # S-sized scatter — both become MXU matmuls.
+    p_pad = ((int(pdf.max()) + 1 + TILE - 1) // TILE) * TILE
+    all_states = np.arange(s_pad, dtype=np.int64)
+    ones = np.ones(s_pad, np.float32)
+    e_f = _build_wparts(all_states, f_new, ones, s_pad, cols_pad=p_pad,
+                        square=False)
+    e_g = _build_wparts(all_states, g_new, ones, s_pad, cols_pad=p_pad,
+                        square=False)
 
     return FactorizedGraph(
         num_states=S,
         s_pad=s_pad,
+        p_pad=p_pad,
         perm=perm.astype(np.int32),
-        w1_tiles=w1_tiles, w1_rows=w1_rows, w1_cols=w1_cols,
+        w1=w1,
         f_dst=f_new.astype(np.int32),
-        w2_tiles=w2_tiles, w2_rows=w2_rows, w2_cols=w2_cols,
+        e_f=e_f,
+        w2=w2,
         g_src=g_new.astype(np.int32),
+        e_g=e_g,
         res_src=nsrc[m0].astype(np.int32),
         res_dst=ndst[m0].astype(np.int32),
         res_pdf=pdf[m0].astype(np.int32),

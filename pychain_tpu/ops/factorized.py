@@ -1,11 +1,13 @@
-"""Block-sparse MXU forward-backward for the denominator (prob domain).
+"""Stratified MXU forward-backward for the denominator (prob domain).
 
 Consumes the factorized graph form built by
-``pychain_tpu.graphs.factorize``: the per-frame arc sweep becomes
-batched 128x128 tile matmuls (MXU) plus S-sized emission gathers, and
-the occupation posteriors become S-sized segment-sums — no K-sized
-gather/scatter anywhere.  Layout is state-major (S_pad, B) so the batch
-rides the 128-lane dimension.
+``pychain_tpu.graphs.factorize``: each transition matrix is stratified
+into a diagonal (elementwise), one dense sub-block (a single MXU matmul
+— the cross-phone block of a denominator graph), and a block-sparse
+tile remainder.  The per-frame update runs entirely on MXU/VPU with
+S-sized emission gathers; the occupation posteriors are S-sized
+segment-sums — no K-sized gather/scatter anywhere.  Layout is
+state-major (S_pad, B) so the batch rides the 128-lane dimension.
 
 Semantics are identical to ``ops.fwdbwd.forward_backward_prob`` (the
 reference recurrences, chain-computation.h:109-155) and are tested for
@@ -27,25 +29,33 @@ from .fwdbwd import FwdBwdResult, _ok_flags
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class WArrays:
+    """One stratified matrix on device (square W or rectangular E)."""
+    diag: Optional[jax.Array]       # (S_pad,) or None (rectangular)
+    dense: Optional[jax.Array]      # (R, C) or None
+    tiles: jax.Array                # (n, 128, 128)
+    rows: jax.Array                 # (n,)
+    cols: jax.Array
+    dense_r0: int = dataclasses.field(metadata=dict(static=True))
+    dense_c0: int = dataclasses.field(metadata=dict(static=True))
+    out_rows: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class FactorizedArrays:
     """Device pytree for the factorized denominator graph (shared across
-    the batch).  State vectors are permuted+padded to S_pad; tiles are
-    (n, 128, 128) with block row/col index vectors, sorted by row."""
-    w1_tiles: jax.Array
-    w1_rows: jax.Array
-    w1_cols: jax.Array
+    the batch).  State vectors are permuted+padded to S_pad."""
+    w1: WArrays
     f_dst: jax.Array      # (S_pad,) pdf id feeding each state's W1 term
-    w2_tiles: jax.Array
-    w2_rows: jax.Array
-    w2_cols: jax.Array
+    e_f: WArrays          # one-hot (S_pad, P_pad): x_dst = E_f @ x_t
+    w2: WArrays
     g_src: jax.Array
-    # transposed orientations for the beta sweep
-    w1t_tiles: jax.Array
-    w1t_rows: jax.Array
-    w1t_cols: jax.Array
-    w2t_tiles: jax.Array
-    w2t_rows: jax.Array
-    w2t_cols: jax.Array
+    e_g: WArrays
+    w1t: WArrays          # transposed orientations for the beta sweep
+    w2t: WArrays
+    e_ft: WArrays         # gamma scatter: E_f^T @ c
+    e_gt: WArrays
     initial: jax.Array    # (S_pad,)
     final: jax.Array
     leaky: jax.Array
@@ -59,31 +69,59 @@ class FactorizedArrays:
     def s_pad(self) -> int:
         return self.initial.shape[0]
 
+    @property
+    def p_pad(self) -> int:
+        return self.e_ft.out_rows
 
-def from_factorized_graph(fg, initial, final, leaky) -> FactorizedArrays:
+
+def _w_arrays(parts, td, out_rows) -> WArrays:
+    return WArrays(
+        diag=None if parts.diag is None else jnp.asarray(parts.diag),
+        dense=None if parts.dense is None else jnp.asarray(parts.dense, td),
+        tiles=jnp.asarray(parts.tiles, td),
+        rows=jnp.asarray(parts.rows),
+        cols=jnp.asarray(parts.cols),
+        dense_r0=int(parts.dense_r0),
+        dense_c0=int(parts.dense_c0),
+        out_rows=int(out_rows),
+    )
+
+
+def _transpose_parts(parts):
+    from ..graphs.factorize import WParts
+    t = np.transpose(parts.tiles, (0, 2, 1))
+    r, c = parts.cols, parts.rows
+    order = np.argsort(r, kind="stable")
+    return WParts(
+        diag=parts.diag,
+        dense=None if parts.dense is None else parts.dense.T.copy(),
+        dense_r0=parts.dense_c0, dense_c0=parts.dense_r0,
+        tiles=t[order], rows=r[order], cols=c[order])
+
+
+def from_factorized_graph(fg, initial, final, leaky,
+                          tile_dtype=None) -> FactorizedArrays:
     """Build device arrays from a host FactorizedGraph + the graph's
-    (un-permuted) initial/final/leaky state vectors."""
+    (un-permuted) initial/final/leaky state vectors.
+
+    tile_dtype: float32 (default, bit-parity with the reference) or
+    bfloat16 (speed mode: native-rate MXU at ~0.4% relative quantisation
+    of transition probs)."""
     from ..graphs.factorize import permute_state_vector
 
-    def tr(tiles, rows, cols):
-        """Transpose a block-sparse matrix: swap tile indices, transpose
-        each tile, re-sort by the new row index."""
-        t = np.transpose(tiles, (0, 2, 1))
-        r, c = cols, rows
-        order = np.argsort(r * (fg.s_pad // 128) + c, kind="stable")
-        return t[order], r[order], c[order]
-
-    w1t, w1t_r, w1t_c = tr(fg.w1_tiles, fg.w1_rows, fg.w1_cols)
-    w2t, w2t_r, w2t_c = tr(fg.w2_tiles, fg.w2_rows, fg.w2_cols)
+    td = jnp.dtype(tile_dtype) if tile_dtype is not None else jnp.float32
+    one = jnp.float32  # E matrices are one-hot; keep them exact
     return FactorizedArrays(
-        w1_tiles=jnp.asarray(fg.w1_tiles), w1_rows=jnp.asarray(fg.w1_rows),
-        w1_cols=jnp.asarray(fg.w1_cols), f_dst=jnp.asarray(fg.f_dst),
-        w2_tiles=jnp.asarray(fg.w2_tiles), w2_rows=jnp.asarray(fg.w2_rows),
-        w2_cols=jnp.asarray(fg.w2_cols), g_src=jnp.asarray(fg.g_src),
-        w1t_tiles=jnp.asarray(w1t), w1t_rows=jnp.asarray(w1t_r),
-        w1t_cols=jnp.asarray(w1t_c),
-        w2t_tiles=jnp.asarray(w2t), w2t_rows=jnp.asarray(w2t_r),
-        w2t_cols=jnp.asarray(w2t_c),
+        w1=_w_arrays(fg.w1, td, fg.s_pad),
+        f_dst=jnp.asarray(fg.f_dst),
+        e_f=_w_arrays(fg.e_f, one, fg.s_pad),
+        w2=_w_arrays(fg.w2, td, fg.s_pad),
+        g_src=jnp.asarray(fg.g_src),
+        e_g=_w_arrays(fg.e_g, one, fg.s_pad),
+        w1t=_w_arrays(_transpose_parts(fg.w1), td, fg.s_pad),
+        w2t=_w_arrays(_transpose_parts(fg.w2), td, fg.s_pad),
+        e_ft=_w_arrays(_transpose_parts(fg.e_f), one, fg.p_pad),
+        e_gt=_w_arrays(_transpose_parts(fg.e_g), one, fg.p_pad),
         initial=jnp.asarray(permute_state_vector(fg, initial)),
         final=jnp.asarray(permute_state_vector(fg, final)),
         leaky=jnp.asarray(permute_state_vector(fg, leaky)),
@@ -92,22 +130,30 @@ def from_factorized_graph(fg, initial, final, leaky) -> FactorizedArrays:
     )
 
 
-def _bsmm(tiles, rows, cols, v, nt):
-    """Block-sparse matvec batch: (W @ v) for v (S_pad, B) -> (S_pad, B).
-
-    Gathers column tiles of v, runs one batched MXU matmul over the
-    nonzero tiles, segment-sums into row tiles.
-    """
-    s_pad, B = v.shape
-    if tiles.shape[0] == 0:
-        return jnp.zeros_like(v)
-    vt = v.reshape(nt, 128, B)
-    gathered = jnp.take(vt, cols, axis=0)                 # (n, 128, B)
-    prod = jnp.einsum("nij,njb->nib", tiles, gathered,
-                      preferred_element_type=jnp.float32)
-    out = jax.ops.segment_sum(prod, rows, num_segments=nt,
-                              indices_are_sorted=True)
-    return out.reshape(s_pad, B)
+def _apply_w(w: WArrays, v):
+    """W @ v for v (C_total, B) -> (w.out_rows, B):
+    diagonal + dense block + sparse tiles."""
+    c_total, B = v.shape
+    if w.diag is not None:
+        out = w.diag[:, None] * v
+    else:
+        out = jnp.zeros((w.out_rows, B), jnp.float32)
+    if w.dense is not None:
+        R, C = w.dense.shape
+        block = jnp.dot(w.dense, v[w.dense_c0:w.dense_c0 + C].astype(
+            w.dense.dtype), preferred_element_type=jnp.float32)
+        out = out.at[w.dense_r0:w.dense_r0 + R].add(block)
+    if w.tiles.shape[0] > 0:
+        ntc = c_total // 128
+        vt = v.astype(w.tiles.dtype).reshape(ntc, 128, B)
+        gathered = jnp.take(vt, w.cols, axis=0)             # (n, 128, B)
+        prod = jnp.einsum("nij,njb->nib", w.tiles, gathered,
+                          preferred_element_type=jnp.float32)
+        acc = jax.ops.segment_sum(prod, w.rows,
+                                  num_segments=w.out_rows // 128,
+                                  indices_are_sorted=True)
+        out = out + acc.reshape(w.out_rows, B)
+    return out
 
 
 def _residual_fwd(fa: FactorizedArrays, ad, x_t):
@@ -127,7 +173,6 @@ def forward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
     objf (B,), tot_prob (B,))."""
     T, P, B = px_tm.shape
     s_pad = fa.s_pad
-    nt = s_pad // 128
     leaky = fa.leaky[:, None]
 
     alpha0 = jnp.broadcast_to(fa.initial[:, None], (s_pad, B))
@@ -139,11 +184,10 @@ def forward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
     def step(carry, xs):
         ad_prev, s_prev, loglike = carry
         px_t, t = xs
-        x_dst = jnp.take(px_t, fa.f_dst, axis=0)          # (S_pad, B)
-        x_src = jnp.take(px_t, fa.g_src, axis=0)
-        a = x_dst * _bsmm(fa.w1_tiles, fa.w1_rows, fa.w1_cols, ad_prev, nt)
-        a = a + _bsmm(fa.w2_tiles, fa.w2_rows, fa.w2_cols,
-                      x_src * ad_prev, nt)
+        x_dst = _apply_w(fa.e_f, px_t)                    # (S_pad, B)
+        x_src = _apply_w(fa.e_g, px_t)
+        a = x_dst * _apply_w(fa.w1, ad_prev)
+        a = a + _apply_w(fa.w2, x_src * ad_prev)
         a = a + _residual_fwd(fa, ad_prev, px_t)
         a = a / s_prev[None, :]
         s_t = a.sum(axis=0)
@@ -177,7 +221,6 @@ def backward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
     (B, T), gamma_sum (B, T))."""
     T, P, B = px_tm.shape
     s_pad = fa.s_pad
-    nt = s_pad // 128
     leaky = fa.leaky[:, None]
     final = fa.final[:, None]
     bd_final = final / tot_prob[None, :]
@@ -191,21 +234,20 @@ def backward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
         bd_eff = jnp.where(inject[None, :], bd_final, bd_next)
         b_next = bd_eff + leaky_coefficient * (
             (bd_eff * leaky).sum(axis=0, keepdims=True))
-        x_dst = jnp.take(px_t, fa.f_dst, axis=0)
-        x_src = jnp.take(px_t, fa.g_src, axis=0)
+        x_dst = _apply_w(fa.e_f, px_t)
+        x_src = _apply_w(fa.e_g, px_t)
         inv_s = 1.0 / s_t[None, :]
 
         xb = x_dst * b_next                                 # (S_pad, B)
-        w1t_term = _bsmm(fa.w1t_tiles, fa.w1t_rows, fa.w1t_cols, xb, nt)
-        w2t_term = _bsmm(fa.w2t_tiles, fa.w2t_rows, fa.w2t_cols, b_next, nt)
+        w1t_term = _apply_w(fa.w1t, xb)
+        w2t_term = _apply_w(fa.w2t, b_next)
         bd_t = (w1t_term + x_src * w2t_term) * inv_s
 
-        # posteriors: S-sized scatters by pdf attachment
-        w1_fwd = _bsmm(fa.w1_tiles, fa.w1_rows, fa.w1_cols, ad_t, nt)
+        # posteriors: pdf-attachment scatters as transposed E matmuls
+        w1_fwd = _apply_w(fa.w1, ad_t)
         c1 = xb * w1_fwd * inv_s                            # per-dst mass
         c2 = x_src * ad_t * w2t_term * inv_s                # per-src mass
-        gamma_t = (jax.ops.segment_sum(c1, fa.f_dst, num_segments=P)
-                   + jax.ops.segment_sum(c2, fa.g_src, num_segments=P))
+        gamma_t = _apply_w(fa.e_ft, c1) + _apply_w(fa.e_gt, c2)
 
         if fa.res_src.shape[0] > 0:
             vf = (fa.res_prob[:, None]
@@ -215,7 +257,7 @@ def backward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
                 vf, fa.res_src, num_segments=s_pad) * inv_s
             occ = jnp.take(ad_t, fa.res_src, axis=0) * inv_s
             gamma_t = gamma_t + jax.ops.segment_sum(
-                vf * occ, fa.res_pdf, num_segments=P)
+                vf * occ, fa.res_pdf, num_segments=fa.p_pad)
 
         active = (t < lengths)
         bd_new = jnp.where(active[None, :], bd_t, bd_eff)
@@ -237,12 +279,20 @@ def forward_backward_prob_fact(px, lengths, fa: FactorizedArrays,
     """Fused fwd+bwd on the factorized graph.  px: (B, T, P) exp'd
     output; gamma is returned in (B, T, P)."""
     B, T, P = px.shape
+    # pad pdf space to a lane multiple covering the graph's E matrices
+    p_eff = max(-(-P // 128) * 128, fa.p_pad)
     px_tm = jnp.transpose(px, (1, 2, 0))                    # (T, P, B)
+    if p_eff != P:
+        px_tm = jnp.pad(px_tm, ((0, 0), (0, p_eff - P), (0, 0)))
     alpha_dash, alpha_sums, objf, tot_prob = forward_prob_fact(
         px_tm, lengths, fa, leaky_coefficient)
     gamma_tm, alpha_beta, gamma_sum = backward_prob_fact(
         px_tm, lengths, fa, leaky_coefficient, alpha_dash, alpha_sums,
         tot_prob, P)
-    gamma = jnp.transpose(gamma_tm, (2, 0, 1))              # (B, T, P)
+    gamma = jnp.transpose(gamma_tm, (2, 0, 1))              # (B, T, p_pad)
+    if gamma.shape[2] < P:
+        gamma = jnp.pad(gamma, ((0, 0), (0, 0), (0, P - gamma.shape[2])))
+    elif gamma.shape[2] > P:
+        gamma = gamma[:, :, :P]
     ok = _ok_flags(objf, alpha_beta, gamma_sum)
     return FwdBwdResult(objf, gamma, ok, alpha_beta, gamma_sum)

@@ -20,12 +20,16 @@ def test_factorization_covers_hmm_topology():
     fg = factorize(den)
     # Kaldi-style HMM graphs must factorize completely (no residual arcs)
     assert fg.res_src.shape[0] == 0
-    assert fg.num_tiles > 0
-    # every arc accounted for exactly once
-    n_in_tiles = (np.count_nonzero(fg.w1_tiles)
-                  + np.count_nonzero(fg.w2_tiles))
-    # parallel arcs may merge; count distinct (src,dst) pairs per class
-    assert n_in_tiles <= den.num_transitions
+    # every arc accounted for (parallel arcs may merge into one entry)
+    nnz = 0
+    for w in (fg.w1, fg.w2):
+        nnz += np.count_nonzero(w.diag) + np.count_nonzero(w.tiles)
+        if w.dense is not None:
+            nnz += np.count_nonzero(w.dense)
+    assert 0 < nnz <= den.num_transitions
+    # the cross-phone block must have been recognised as one dense block
+    assert fg.w1.dense is not None
+    assert fg.w1.num_tiles < 30
 
 
 def test_factorized_matches_gather_path():
