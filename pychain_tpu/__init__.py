@@ -19,6 +19,11 @@ from .loss import (
     chain_loss,
 )
 from .graphs.fst import FST
+from .utils.diagnostics import (
+    check_result,
+    get_verbose_level,
+    set_verbose_level,
+)
 
 __version__ = "0.1.0"
 
@@ -31,4 +36,7 @@ __all__ = [
     "chain_function_with_aux",
     "chain_loss",
     "FST",
+    "check_result",
+    "set_verbose_level",
+    "get_verbose_level",
 ]
