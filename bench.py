@@ -31,7 +31,12 @@ from pychain_tpu.loss import chain_function, dispatch_arrays  # noqa: E402
 from pychain_tpu.utils.testgraphs import denominator_fst  # noqa: E402
 
 QUICK = "--quick" in sys.argv
-IMPL = "gather" if "--gather" in sys.argv else "auto"
+if "--gather" in sys.argv:
+    IMPLS = ["gather"]
+elif "--f32" in sys.argv:
+    IMPLS = ["factorized"]
+else:
+    IMPLS = ["factorized", "pallas"]  # parity engine + fast engine
 TILE_DTYPE = "bfloat16" if "--bf16" in sys.argv else None
 B, T = (16, 100) if QUICK else (128, 500)
 NUM_PHONES, FANOUT = (100, 10) if QUICK else (1500, 30)
@@ -42,8 +47,7 @@ def main():
     den_fst, P = denominator_fst(num_phones=NUM_PHONES, states_per_phone=2,
                                  seed=0, bigram_fanout=FANOUT)
     den = ChainGraph(den_fst, log_domain=False)
-    g = dispatch_arrays(ChainGraphBatch(den, B, tile_dtype=TILE_DTYPE),
-                        impl=IMPL)
+    batch = ChainGraphBatch(den, B, tile_dtype=TILE_DTYPE)
     S, K = den.num_states, den.num_transitions
     print(f"# backend={jax.default_backend()} devices={jax.devices()} "
           f"B={B} T={T} S={S} K={K} P={P}", file=sys.stderr)
@@ -55,29 +59,35 @@ def main():
 
     grad_fn = jax.jit(jax.value_and_grad(chain_function))
 
-    t0 = time.time()
-    objf, grad = grad_fn(x, lengths, g)
-    # Host-sync via a scalar read: block_until_ready is unreliable on
-    # tunneled backends and under-reports.
-    _ = float(objf) + float(grad[0, 0, 0])
-    print(f"# compile+first-run {time.time()-t0:.1f}s objf={float(objf):.4f}",
-          file=sys.stderr)
-
-    # Amortised timing: enqueue N batches asynchronously, sync once —
-    # per-call host<->device sync costs ~35 ms on the tunneled backend
-    # and would otherwise dominate the measurement.
-    def timed(iters):
+    def measure(impl):
+        g = dispatch_arrays(batch, impl=impl)
         t0 = time.time()
-        for _ in range(iters):
-            o, gr = grad_fn(x, lengths, g)
-        _ = float(o) + float(gr[0, 0, 0])
-        return (time.time() - t0) / iters
+        objf, grad = grad_fn(x, lengths, g)
+        # Host-sync via a scalar read: block_until_ready is unreliable
+        # on tunneled backends and under-reports.
+        _ = float(objf) + float(grad[0, 0, 0])
+        print(f"# [{impl}] compile+first-run {time.time()-t0:.1f}s "
+              f"objf={float(objf):.4f}", file=sys.stderr)
 
-    iters = 3 if QUICK else 10
-    timed(2)  # warm the dispatch path
-    best = min(timed(iters) for _ in range(2))
-    utts_per_sec = B / best
-    print(f"# amortized s/batch over {iters}: {best:.4f}", file=sys.stderr)
+        # Amortised timing: enqueue N batches asynchronously, sync once
+        # (per-call sync costs ~35 ms on the tunneled backend).
+        def timed(iters):
+            t0 = time.time()
+            for _ in range(iters):
+                o, gr = grad_fn(x, lengths, g)
+            _ = float(o) + float(gr[0, 0, 0])
+            return (time.time() - t0) / iters
+
+        iters = 3 if QUICK else 10
+        timed(2)  # warm the dispatch path
+        best = min(timed(iters) for _ in range(2))
+        print(f"# [{impl}] amortized s/batch over {iters}: {best:.4f} "
+              f"({B / best:.0f} utts/s)", file=sys.stderr)
+        return B / best
+
+    results = {impl: measure(impl) for impl in IMPLS}
+    headline_impl = IMPLS[-1]
+    utts_per_sec = results[headline_impl]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -89,9 +99,13 @@ def main():
         if ref_ups:
             vs_baseline = utts_per_sec / ref_ups
 
+    others = "; ".join(f"{k}={v:.0f}" for k, v in results.items()
+                       if k != headline_impl)
+    extra = f"; other engines: {others} utts/s" if others else ""
     print(json.dumps({
         "metric": f"den-graph fwd-bwd utts/sec/chip "
-                  f"(B={B},T={T},S={S},K={K},P={P})",
+                  f"(B={B},T={T},S={S},K={K},P={P}; "
+                  f"engine={headline_impl}{extra})",
         "value": round(utts_per_sec, 2),
         "unit": "utts/sec",
         "vs_baseline": (round(vs_baseline, 2)

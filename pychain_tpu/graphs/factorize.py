@@ -100,13 +100,26 @@ class FactorizedGraph:
 
 def _classify_arcs(src, dst, pdf):
     """Greedy pdf attachment: returns (cls, f_dst, g_src) where cls[a] in
-    {1 (dst-attached), 2 (src-attached), 0 (residual)}."""
+    {1 (dst-attached), 2 (src-attached), 0 (residual)}.
+
+    Self-loops bind ``f(dst)`` first — they are the canonical
+    dst-attachment in HMM topologies — so that within-phone forward arcs
+    (whose pdf belongs to the SOURCE state) don't steal the binding and
+    fragment the factorization."""
     S = max(src.max(), dst.max()) + 1
     f = np.full(S, -1, np.int64)
     g = np.full(S, -1, np.int64)
     cls = np.zeros(len(src), np.int8)
-    # pass 1: bind f(dst) first (covers self-loops + cross arcs)
+    # pass 0: self-loops bind f(dst)
+    for a in np.nonzero(src == dst)[0]:
+        d, n = dst[a], pdf[a]
+        if f[d] == -1 or f[d] == n:
+            f[d] = n
+            cls[a] = 1
+    # pass 1: remaining arcs join f(dst) where consistent
     for a in range(len(src)):
+        if cls[a]:
+            continue
         d, n = dst[a], pdf[a]
         if f[d] == -1 or f[d] == n:
             f[d] = n
@@ -125,15 +138,16 @@ def _classify_arcs(src, dst, pdf):
 def _role_order(src, dst, pdf, S, final_mask):
     """Order states by structural role so W tiles cluster.
 
-    Buckets by (log2 in-degree, log2 out-degree, final?) — for phone-HMM
-    graphs this separates phone-start / phone-middle / phone-end states,
-    which is exactly the split that makes the cross-phone block compact.
+    Buckets by the log in/out-degree RATIO (robust to per-state degree
+    variance) plus finality — for phone-HMM graphs this separates
+    phone-start states (fan-in heavy), phone-middle (balanced), and
+    phone-end states (fan-out heavy, usually final), which is exactly
+    the split that makes the cross-phone block one compact rectangle.
     """
-    ind = np.bincount(dst, minlength=S)
-    outd = np.bincount(src, minlength=S)
-    key_in = np.clip(np.log2(np.maximum(ind, 1)).astype(np.int64), 0, 12)
-    key_out = np.clip(np.log2(np.maximum(outd, 1)).astype(np.int64), 0, 12)
-    keys = (key_in * 32 + key_out) * 2 + final_mask.astype(np.int64)
+    ind = np.bincount(dst, minlength=S).astype(np.float64)
+    outd = np.bincount(src, minlength=S).astype(np.float64)
+    ratio = np.clip(np.round(np.log2((ind + 1.0) / (outd + 1.0))), -4, 4)
+    keys = (ratio.astype(np.int64) + 4) * 2 + final_mask.astype(np.int64)
     return np.argsort(keys, kind="stable")  # (S,) old id per new slot
 
 

@@ -59,13 +59,22 @@ def dispatch_arrays(graphs, impl: str = "auto"):
     """Pick the kernel-facing pytree for a graph batch.
 
     impl: "auto" (factorized MXU path for shared prob-domain graphs,
-    generic gather path otherwise), "gather", or "factorized".
+    generic gather path otherwise), "gather", "factorized", or "pallas"
+    (fused VMEM-resident kernels, bfloat16 fast mode; requires a fully
+    factorized shared graph).
     """
     if isinstance(graphs, (GraphArrays, FactorizedArrays)):
         return graphs
     if impl == "gather":
         return graph_arrays(graphs)
     fact = getattr(graphs, "_fact", None)
+    if impl == "pallas":
+        from .ops.pallas_fact import supports
+        if fact is None or not supports(fact):
+            raise ValueError("pallas impl requires a fully factorized "
+                             "shared prob-domain graph")
+        import dataclasses
+        return dataclasses.replace(fact, engine="pallas")
     if fact is not None and (impl == "factorized" or impl == "auto"):
         return fact
     if impl == "factorized":
@@ -87,6 +96,10 @@ def _run(x, lengths, g, leaky_coefficient) -> FwdBwdResult:
     x = jnp.clip(x, -CLAMP, CLAMP)
     lengths = lengths.astype(jnp.int32)
     if isinstance(g, FactorizedArrays):
+        if g.engine == "pallas":
+            from .ops.pallas_fact import forward_backward_prob_pallas
+            return forward_backward_prob_pallas(jnp.exp(x), lengths, g,
+                                                leaky_coefficient)
         return forward_backward_prob_fact(jnp.exp(x), lengths, g,
                                           leaky_coefficient)
     if g.leaky is not None:

@@ -30,12 +30,16 @@ from .fwdbwd import FwdBwdResult, _ok_flags
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class WArrays:
-    """One stratified matrix on device (square W or rectangular E)."""
+    """One stratified matrix on device (square W or rectangular E).
+
+    Tile block coordinates are STATIC (python tuples): they define the
+    program structure (which MXU tile matmuls exist), not runtime data.
+    """
     diag: Optional[jax.Array]       # (S_pad,) or None (rectangular)
     dense: Optional[jax.Array]      # (R, C) or None
     tiles: jax.Array                # (n, 128, 128)
-    rows: jax.Array                 # (n,)
-    cols: jax.Array
+    rows: tuple = dataclasses.field(metadata=dict(static=True))
+    cols: tuple = dataclasses.field(metadata=dict(static=True))
     dense_r0: int = dataclasses.field(metadata=dict(static=True))
     dense_c0: int = dataclasses.field(metadata=dict(static=True))
     out_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -64,6 +68,10 @@ class FactorizedArrays:
     res_dst: jax.Array
     res_pdf: jax.Array
     res_prob: jax.Array
+    # which engine executes this graph: "xla" (default, f32 parity) or
+    # "pallas" (fused VMEM-resident kernels, bf16 fast mode)
+    engine: str = dataclasses.field(default="xla",
+                                    metadata=dict(static=True))
 
     @property
     def s_pad(self) -> int:
@@ -79,8 +87,8 @@ def _w_arrays(parts, td, out_rows) -> WArrays:
         diag=None if parts.diag is None else jnp.asarray(parts.diag),
         dense=None if parts.dense is None else jnp.asarray(parts.dense, td),
         tiles=jnp.asarray(parts.tiles, td),
-        rows=jnp.asarray(parts.rows),
-        cols=jnp.asarray(parts.cols),
+        rows=tuple(int(r) for r in parts.rows),
+        cols=tuple(int(c) for c in parts.cols),
         dense_r0=int(parts.dense_r0),
         dense_c0=int(parts.dense_c0),
         out_rows=int(out_rows),
@@ -146,10 +154,11 @@ def _apply_w(w: WArrays, v):
     if w.tiles.shape[0] > 0:
         ntc = c_total // 128
         vt = v.astype(w.tiles.dtype).reshape(ntc, 128, B)
-        gathered = jnp.take(vt, w.cols, axis=0)             # (n, 128, B)
+        cols = jnp.asarray(w.cols, jnp.int32)
+        gathered = jnp.take(vt, cols, axis=0)               # (n, 128, B)
         prod = jnp.einsum("nij,njb->nib", w.tiles, gathered,
                           preferred_element_type=jnp.float32)
-        acc = jax.ops.segment_sum(prod, w.rows,
+        acc = jax.ops.segment_sum(prod, jnp.asarray(w.rows, jnp.int32),
                                   num_segments=w.out_rows // 128,
                                   indices_are_sorted=True)
         out = out + acc.reshape(w.out_rows, B)

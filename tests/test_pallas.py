@@ -1,0 +1,71 @@
+"""Pallas fused kernels vs the XLA factorized path.
+
+On CPU CI the kernels run in Pallas interpreter mode (tiny shapes); on
+TPU they compile for real.  Tolerances reflect the fast-mode bfloat16
+quantisation of transition probs and streamed activations (~1e-3).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pychain_tpu import ChainGraph, ChainGraphBatch
+from pychain_tpu.loss import chain_function, chain_function_with_aux
+from pychain_tpu.utils.testgraphs import denominator_fst, random_fst
+
+
+def test_pallas_matches_xla_factorized():
+    rng = np.random.RandomState(0)
+    den_fst, P = denominator_fst(num_phones=10, states_per_phone=2, seed=0)
+    den = ChainGraph(den_fst, log_domain=False)
+    B, T = 4, 7
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.array([7, 5, 3, 1], np.int32)
+    batch = ChainGraphBatch(den, B)
+
+    _, ref = chain_function_with_aux(x, lengths, batch, impl="factorized")
+    _, got = chain_function_with_aux(x, lengths, batch, impl="pallas")
+
+    np.testing.assert_allclose(np.asarray(got.objf), np.asarray(ref.objf),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got.gamma),
+                               np.asarray(ref.gamma), rtol=2e-2, atol=4e-3)
+    assert np.all(np.asarray(got.ok))
+    # invariants hold within the bf16 budget on active frames
+    for b in range(B):
+        for t in range(int(lengths[b])):
+            assert abs(got.alpha_beta[b, t] - 1.0) < 2e-2
+            assert abs(got.gamma_sum[b, t] - 1.0) < 2e-2
+    # masked region exactly zero
+    gam = np.asarray(got.gamma)
+    for b in range(B):
+        assert np.all(gam[b, lengths[b]:] == 0.0)
+
+
+def test_pallas_gradient_path():
+    rng = np.random.RandomState(1)
+    den_fst, P = denominator_fst(num_phones=8, states_per_phone=2, seed=1)
+    den = ChainGraph(den_fst, log_domain=False)
+    B, T = 2, 5
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = jnp.array([5, 4], jnp.int32)
+    batch = ChainGraphBatch(den, B)
+
+    g_pal = jax.grad(lambda xx: chain_function(
+        xx, lengths, batch, impl="pallas"))(x)
+    g_ref = jax.grad(lambda xx: chain_function(
+        xx, lengths, batch, impl="factorized"))(x)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=2e-2, atol=4e-3)
+
+
+def test_pallas_rejects_residual_graphs():
+    fst = random_fst(num_states=9, num_pdfs=6, max_arcs_per_state=4, seed=3)
+    den = ChainGraph(fst, log_domain=False)
+    batch = ChainGraphBatch(den, 2)
+    if batch._fact.res_src.shape[0] == 0:
+        pytest.skip("graph happened to factorize fully")
+    with pytest.raises(ValueError, match="fully factorized"):
+        chain_function(jnp.zeros((2, 4, 6)), jnp.array([4, 4]), batch,
+                       impl="pallas")
