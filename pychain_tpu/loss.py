@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from .graph import ChainGraph, ChainGraphBatch
 from .ops.factorized import FactorizedArrays, forward_backward_prob_fact
+from .ops.linear import LinearArrays, forward_backward_linear
 from .ops.fwdbwd import (
     GraphArrays,
     FwdBwdResult,
@@ -58,15 +59,22 @@ def graph_arrays(batch: ChainGraphBatch) -> GraphArrays:
 def dispatch_arrays(graphs, impl: str = "auto"):
     """Pick the kernel-facing pytree for a graph batch.
 
-    impl: "auto" (factorized MXU path for shared prob-domain graphs,
-    generic gather path otherwise), "gather", "factorized", or "pallas"
-    (fused VMEM-resident kernels, bfloat16 fast mode; requires a fully
-    factorized shared graph).
+    impl: "auto" (linear closed form for linear-chain numerator
+    batches, factorized MXU path for shared prob-domain graphs, generic
+    gather path otherwise), "gather", "linear", "factorized", or
+    "pallas" (fused VMEM-resident kernels, bfloat16 fast mode; requires
+    a fully factorized shared graph).
     """
-    if isinstance(graphs, (GraphArrays, FactorizedArrays)):
+    if isinstance(graphs, (GraphArrays, FactorizedArrays, LinearArrays)):
         return graphs
     if impl == "gather":
         return graph_arrays(graphs)
+    linear = getattr(graphs, "_linear", None)
+    if linear is not None and impl in ("auto", "linear"):
+        return linear
+    if impl == "linear":
+        raise ValueError("linear impl requires a batch of linear-chain "
+                         "log-domain graphs")
     fact = getattr(graphs, "_fact", None)
     if impl == "pallas":
         from .ops.pallas_fact import supports
@@ -95,6 +103,8 @@ def _zero_ct(x):
 def _run(x, lengths, g, leaky_coefficient) -> FwdBwdResult:
     x = jnp.clip(x, -CLAMP, CLAMP)
     lengths = lengths.astype(jnp.int32)
+    if isinstance(g, LinearArrays):
+        return forward_backward_linear(x, lengths, g)
     if isinstance(g, FactorizedArrays):
         if g.engine == "pallas":
             from .ops.pallas_fact import forward_backward_prob_pallas
