@@ -48,6 +48,9 @@ def main():
                                  seed=0, bigram_fanout=FANOUT)
     den = ChainGraph(den_fst, log_domain=False)
     batch = ChainGraphBatch(den, B, tile_dtype=TILE_DTYPE)
+    # the pallas engine's fast mode wants bfloat16-quantised tiles
+    batch_bf16 = (batch if TILE_DTYPE == "bfloat16"
+                  else ChainGraphBatch(den, B, tile_dtype="bfloat16"))
     S, K = den.num_states, den.num_transitions
     print(f"# backend={jax.default_backend()} devices={jax.devices()} "
           f"B={B} T={T} S={S} K={K} P={P}", file=sys.stderr)
@@ -60,7 +63,8 @@ def main():
     grad_fn = jax.jit(jax.value_and_grad(chain_function))
 
     def measure(impl):
-        g = dispatch_arrays(batch, impl=impl)
+        g = dispatch_arrays(batch_bf16 if impl == "pallas" else batch,
+                            impl=impl)
         t0 = time.time()
         objf, grad = grad_fn(x, lengths, g)
         # Host-sync via a scalar read: block_until_ready is unreliable

@@ -57,21 +57,23 @@ def supports(fa: FactorizedArrays) -> bool:
 class _WK:
     """Kernel-side view of one stratified matrix: canonical device
     arrays plus static tile coordinates (python ints -> the tile loop is
-    fully unrolled at trace time)."""
+    fully unrolled at trace time).  ``mm_dtype`` sets the MXU operand
+    precision: bfloat16 fast mode or float32 parity mode."""
 
-    def __init__(self, w: WArrays):
+    def __init__(self, w: WArrays, mm_dtype=BF):
         self.has_diag = w.diag is not None
         self.has_dense = w.dense is not None
         self.r0, self.c0 = w.dense_r0, w.dense_c0
         self.rows = tuple(w.rows)
         self.cols = tuple(w.cols)
+        self.mm = jnp.dtype(mm_dtype)
         self.arrays = []
         if self.has_diag:
             self.arrays.append(jnp.asarray(w.diag, jnp.float32)[:, None])
         if self.has_dense:
-            self.arrays.append(jnp.asarray(w.dense, BF))
+            self.arrays.append(jnp.asarray(w.dense, self.mm))
         if self.rows:
-            self.arrays.append(jnp.asarray(w.tiles, BF))
+            self.arrays.append(jnp.asarray(w.tiles, self.mm))
 
     @property
     def n_args(self) -> int:
@@ -96,13 +98,14 @@ class _WK:
             dref = refs[i]
             i += 1
             R, C = dref.shape
-            blk = jnp.dot(dref[:], v[self.c0:self.c0 + C].astype(BF),
+            blk = jnp.dot(dref[:], v[self.c0:self.c0 + C].astype(self.mm),
                           preferred_element_type=jnp.float32)
             out_ref[self.r0:self.r0 + R, :] += blk
         if self.rows:
             tref = refs[i]
             for k, (r, c) in enumerate(zip(self.rows, self.cols)):
-                blk = jnp.dot(tref[k], v[c * 128:(c + 1) * 128].astype(BF),
+                blk = jnp.dot(tref[k],
+                              v[c * 128:(c + 1) * 128].astype(self.mm),
                               preferred_element_type=jnp.float32)
                 out_ref[r * 128:(r + 1) * 128, :] += blk
 
@@ -111,7 +114,7 @@ class _WK:
 # Forward sweep
 # ----------------------------------------------------------------------
 
-def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile):
+def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
     n = [w1.n_args, w2.n_args, ef.n_args, eg.n_args]
 
     def kernel(*refs):
@@ -142,7 +145,7 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile):
 
         ad_v = ad[:]
         w1.apply(w1_refs, ad_v, acc)                      # acc = W1 @ ad
-        w1fwd_out[0] = acc[:].astype(BF)
+        w1fwd_out[0] = acc[:].astype(sd)
         a_part = xdst[:] * acc[:]
         w2.apply(w2_refs, xsrc[:] * ad_v, acc)            # acc = W2 @ u
         a = (a_part + acc[:]) / s_scr[0, :][None, :]
@@ -153,19 +156,20 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile):
         s_new = jnp.where(active, s_t, s_scr[0, :])
         ad[:] = ad_new
         s_scr[0, :] = s_new
-        ad_out[0] = ad_new.astype(BF)
+        ad_out[0] = ad_new.astype(sd)
         s_out[0, 0, :] = s_new
 
     return kernel
 
 
 def _fwd_pallas(fa: FactorizedArrays, px_bf, lengths, leaky_coefficient,
-                b_tile):
+                b_tile, mm, sd):
     T, p_eff, B = px_bf.shape
     s_pad = fa.s_pad
     nb = B // b_tile
-    w1, w2, ef, eg = _WK(fa.w1), _WK(fa.w2), _WK(fa.e_f), _WK(fa.e_g)
-    kernel = _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile)
+    w1, w2, ef, eg = (_WK(fa.w1, mm), _WK(fa.w2, mm), _WK(fa.e_f, mm),
+                      _WK(fa.e_g, mm))
+    kernel = _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -191,9 +195,9 @@ def _fwd_pallas(fa: FactorizedArrays, px_bf, lengths, leaky_coefficient,
         stream(s_pad),                                    # w1fwd_ys
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((T, s_pad, B), BF),
+        jax.ShapeDtypeStruct((T, s_pad, B), sd),
         jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, s_pad, B), BF),
+        jax.ShapeDtypeStruct((T, s_pad, B), sd),
     ]
     scratch = [
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # ad carry
@@ -224,7 +228,7 @@ def _fwd_pallas(fa: FactorizedArrays, px_bf, lengths, leaky_coefficient,
 # ----------------------------------------------------------------------
 
 def _bwd_kernel_factory(w1t, w2t, ef, eg, eft, egt, T, s_pad, p_pad,
-                        b_tile):
+                        b_tile, sd):
     n = [w1t.n_args, w2t.n_args, ef.n_args, eg.n_args, eft.n_args,
          egt.n_args]
 
@@ -287,7 +291,7 @@ def _bwd_kernel_factory(w1t, w2t, ef, eg, eft, egt, T, s_pad, p_pad,
         c2 = jnp.where(active[None, :], xsrc[:] * ad_u * w2term * inv, 0.0)
         eft.apply(eft_refs, c1, gacc)                     # E_f^T c1
         egt.apply(egt_refs, c2, gacc, accumulate=True)    # += E_g^T c2
-        gamma_out[0] = gacc[:].astype(BF)
+        gamma_out[0] = gacc[:].astype(sd)
         gs_out[0, 0, :] = jnp.sum(gacc[:], axis=0)
 
         bd_new = jnp.where(active[None, :], bd_t, bd_eff)
@@ -298,16 +302,16 @@ def _bwd_kernel_factory(w1t, w2t, ef, eg, eft, egt, T, s_pad, p_pad,
 
 
 def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1fwd_ys, px_bf, s_all,
-                lengths, tot_prob, leaky_coefficient, b_tile):
+                lengths, tot_prob, leaky_coefficient, b_tile, mm, sd):
     T, p_eff, B = px_bf.shape
     s_pad = fa.s_pad
     p_pad = fa.p_pad
     nb = B // b_tile
-    w1t, w2t = _WK(fa.w1t), _WK(fa.w2t)
-    ef, eg, eft, egt = (_WK(fa.e_f), _WK(fa.e_g), _WK(fa.e_ft),
-                        _WK(fa.e_gt))
+    w1t, w2t = _WK(fa.w1t, mm), _WK(fa.w2t, mm)
+    ef, eg, eft, egt = (_WK(fa.e_f, mm), _WK(fa.e_g, mm),
+                        _WK(fa.e_ft, mm), _WK(fa.e_gt, mm))
     kernel = _bwd_kernel_factory(w1t, w2t, ef, eg, eft, egt, T, s_pad,
-                                 p_pad, b_tile)
+                                 p_pad, b_tile, sd)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -344,7 +348,7 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1fwd_ys, px_bf, s_all,
                      memory_space=pltpu.VMEM),            # gamma sums
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((T, p_pad, B), BF),
+        jax.ShapeDtypeStruct((T, p_pad, B), sd),
         jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
         jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
     ]
@@ -397,13 +401,21 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     p_eff = max(-(-P // 128) * 128, fa.p_pad)
     lengths = lengths.astype(jnp.int32)
 
+    # precision mode follows the graph's tile dtype: bfloat16 tiles ->
+    # fast mode (bf16 MXU operands + bf16 streams); float32 tiles ->
+    # parity mode (f32 throughout, ~3x slower matmuls)
+    mm = jnp.dtype(fa.w1.tiles.dtype)
+    if fa.w1.dense is not None:
+        mm = jnp.dtype(fa.w1.dense.dtype)
+    sd = BF if mm == BF else jnp.float32
+
     px_tm = jnp.transpose(px, (1, 2, 0))                  # (T, P, B)
     if p_eff != P:
         px_tm = jnp.pad(px_tm, ((0, 0), (0, p_eff - P), (0, 0)))
-    px_bf = px_tm.astype(BF)
+    px_bf = px_tm.astype(sd)
 
     ad_ys, s_ys8, w1fwd_ys = _fwd_pallas(
-        fa, px_bf, lengths, leaky_coefficient, b_tile)
+        fa, px_bf, lengths, leaky_coefficient, b_tile, mm, sd)
     s_ys = s_ys8[:, 0, :]                                 # (T, B)
 
     s0 = jnp.full((B,), fa.initial.sum(), px.dtype)
@@ -422,7 +434,7 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
 
     gamma_ys, ab8, gs8 = _bwd_pallas(
         fa, ad_ys, w1fwd_ys, px_bf, s_all, lengths, tot_prob,
-        leaky_coefficient, b_tile)
+        leaky_coefficient, b_tile, mm, sd)
 
     gamma = jnp.transpose(gamma_ys.astype(px.dtype), (2, 0, 1))
     if gamma.shape[2] < P:
