@@ -81,7 +81,6 @@ def dispatch_arrays(graphs, impl: str = "auto"):
         if fact is None or not supports(fact):
             raise ValueError("pallas impl requires a fully factorized "
                              "shared prob-domain graph")
-        import dataclasses
         return dataclasses.replace(fact, engine="pallas")
     if fact is not None and (impl == "factorized" or impl == "auto"):
         return fact

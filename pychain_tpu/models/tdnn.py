@@ -14,7 +14,7 @@ an ``mp`` mesh axis via the logical axis annotations on the kernels
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import jax.numpy as jnp

@@ -105,7 +105,6 @@ def brute_force_objf_log(x_b, T_b, graph):
     """Exact path enumeration for tiny log-domain graphs: sums
     exp(score) over every length-T_b path from the start distribution to
     a final state.  Exponential cost — only for S, T <= ~8 tests."""
-    import itertools
 
     S = graph.num_states
     trans = graph.forward_transitions
