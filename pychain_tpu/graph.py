@@ -154,6 +154,7 @@ class ChainGraphBatch:
         self.log_domain = graph.log_domain
         self.shared = True
         self._linear = None
+        self._leveled = None
         self.num_states = graph.num_states
         self.num_transitions = graph.num_transitions
 
@@ -197,10 +198,15 @@ class ChainGraphBatch:
         # per-utterance linear FST, whose forward-backward has a closed
         # form (ops/linear.py) — no sequential scan at all.
         self._linear = None
+        self._leveled = None
         if self.log_domain:
             from .ops.linear import is_linear_graph, linear_arrays
             if all(is_linear_graph(g) for g in graphs):
                 self._linear = linear_arrays(graphs, max_k)
+            else:
+                from .ops.leveled import is_leveled_graph, leveled_arrays
+                if all(is_leveled_graph(g) for g in graphs):
+                    self._leveled = leveled_arrays(graphs)
         self.num_states = max_s
         self.num_transitions = max_k
         B = self.batch_size
@@ -321,7 +327,7 @@ class ChainGraphBatch:
     _leaves = ("_fwd_src", "_fwd_dst", "_fwd_pdf", "_fwd_prob",
                "_bwd_src", "_bwd_dst", "_bwd_pdf", "_bwd_prob",
                "_initial", "_final", "_leaky", "_fwd_indices",
-               "_bwd_indices", "_start", "_fact", "_linear")
+               "_bwd_indices", "_start", "_fact", "_linear", "_leveled")
 
     def tree_flatten(self):
         children = tuple(getattr(self, n) for n in self._leaves)

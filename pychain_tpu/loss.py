@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from .graph import ChainGraph, ChainGraphBatch
 from .ops.factorized import FactorizedArrays, forward_backward_prob_fact
+from .ops.leveled import LeveledArrays, forward_backward_leveled
 from .ops.linear import LinearArrays, forward_backward_linear
 from .ops.fwdbwd import (
     GraphArrays,
@@ -65,7 +66,8 @@ def dispatch_arrays(graphs, impl: str = "auto"):
     "pallas" (fused VMEM-resident kernels, bfloat16 fast mode; requires
     a fully factorized shared graph).
     """
-    if isinstance(graphs, (GraphArrays, FactorizedArrays, LinearArrays)):
+    if isinstance(graphs, (GraphArrays, FactorizedArrays, LinearArrays,
+                           LeveledArrays)):
         return graphs
     if impl == "gather":
         return graph_arrays(graphs)
@@ -75,6 +77,12 @@ def dispatch_arrays(graphs, impl: str = "auto"):
     if impl == "linear":
         raise ValueError("linear impl requires a batch of linear-chain "
                          "log-domain graphs")
+    leveled = getattr(graphs, "_leveled", None)
+    if leveled is not None and impl in ("auto", "leveled"):
+        return leveled
+    if impl == "leveled":
+        raise ValueError("leveled impl requires a batch of time-"
+                         "synchronous log-domain graphs")
     fact = getattr(graphs, "_fact", None)
     if impl == "pallas":
         from .ops.pallas_fact import supports
@@ -104,6 +112,8 @@ def _run(x, lengths, g, leaky_coefficient) -> FwdBwdResult:
     lengths = lengths.astype(jnp.int32)
     if isinstance(g, LinearArrays):
         return forward_backward_linear(x, lengths, g)
+    if isinstance(g, LeveledArrays):
+        return forward_backward_leveled(x, lengths, g)
     if isinstance(g, FactorizedArrays):
         if g.engine == "pallas":
             from .ops.pallas_fact import forward_backward_prob_pallas

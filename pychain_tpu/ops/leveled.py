@@ -1,0 +1,233 @@
+"""Leveled (time-synchronous) numerator engine — gather-free sausages.
+
+Kaldi chain supervision FSTs are time-synchronous: every arc advances
+exactly one frame, so states partition into levels 0..T_g and the
+forward variable at frame t is supported on level t only (the linear
+engine in ops/linear.py is the width-1 special case).  Lay alpha out as
+a dense (B, W) band (W = max level width, typically <= 8) and the
+log-domain recurrence becomes a tiny dense contraction over (W, A)
+in-arc slots — no per-row gathers, which on TPU cost ~8 cycles/element
+regardless of size (see docs/DESIGN.md).
+
+Emission lookups are hoisted out of the scan entirely: the per-slot pdf
+ids are frame-indexed constants, so ``em[b, t, j, a] = x[b, t, pdf]``
+is ONE one-hot einsum over the whole utterance batch.
+
+Compiled form per graph (padded to common W, A, T_g):
+
+* ``src_onehot`` (T_g, W, A, W): in-arc source-slot selectors,
+* ``logp`` (T_g, W, A): arc log-probs, -inf padding,
+* ``pdf`` (T_g, W, A): arc pdf ids (0 padding, masked by logp),
+* ``final`` (W,): log final probs of the last level's slots.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .fwdbwd import FwdBwdResult
+
+NEG_INF = float("-inf")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LeveledArrays:
+    """Batched time-synchronous graphs (log domain)."""
+    src_onehot: jax.Array  # (B, Tg_max, W, A, W) bf16/f32 one-hot
+    logp: jax.Array        # (B, Tg_max, W, A) f32, -inf padding
+    pdf: jax.Array         # (B, Tg_max, W, A) int32
+    final: jax.Array       # (B, W) f32, -inf on padded slots
+    graph_len: jax.Array   # (B,) int32
+
+
+def level_structure(g):
+    """Levelize a log-domain ChainGraph.  Returns (levels, widths) with
+    ``levels[s]`` the frame index of state s, or None if the graph is
+    not time-synchronous (some state has in-arcs from mixed levels, a
+    self-loop, or is unreachable)."""
+    S, K = g.num_states, g.num_transitions
+    t = g.forward_transitions
+    levels = np.full(S, -1, np.int64)
+    levels[g.start_state] = 0
+    # graph arcs sorted by src; propagate in topological-ish sweeps
+    for _ in range(S):
+        src_l = levels[t[:, 0]]
+        ok = src_l >= 0
+        want = src_l + 1
+        cur = levels[t[:, 1]]
+        conflict = ok & (cur >= 0) & (cur != want)
+        if conflict.any():
+            return None
+        upd = ok & (cur < 0)
+        if not upd.any():
+            break
+        levels[t[upd, 1]] = want[upd]
+    if (levels < 0).any():           # unreachable states
+        return None
+    if (levels[t[:, 0]] + 1 != levels[t[:, 1]]).any():
+        return None
+    return levels
+
+
+def is_leveled_graph(g, max_width: int = 16) -> bool:
+    if not g.log_domain:
+        return False
+    levels = level_structure(g)
+    if levels is None:
+        return False
+    widths = np.bincount(levels)
+    return int(widths.max()) <= max_width
+
+
+def leveled_arrays(graphs, dtype=jnp.float32) -> LeveledArrays:
+    """Compile a batch of time-synchronous graphs to banded tensors."""
+    B = len(graphs)
+    metas = []
+    W = A = Tg_max = 1
+    for g in graphs:
+        levels = level_structure(g)
+        assert levels is not None
+        Tg = int(levels.max())
+        slots = np.zeros(g.num_states, np.int64)
+        widths = np.zeros(Tg + 1, np.int64)
+        # stable slot assignment in state order
+        for s in np.argsort(levels, kind="stable"):
+            slots[s] = widths[levels[s]]
+            widths[levels[s]] += 1
+        t = g.forward_transitions
+        in_count = np.zeros(g.num_states, np.int64)
+        for d in t[:, 1]:
+            in_count[d] += 1
+        W = max(W, int(widths.max()))
+        A = max(A, int(in_count.max()))
+        Tg_max = max(Tg_max, Tg)
+        metas.append((levels, slots, Tg))
+
+    onehot = np.zeros((B, Tg_max, W, A, W), np.float32)
+    logp = np.full((B, Tg_max, W, A), NEG_INF, np.float32)
+    pdf = np.zeros((B, Tg_max, W, A), np.int32)
+    final = np.full((B, W), NEG_INF, np.float32)
+    glen = np.zeros(B, np.int32)
+    for i, (g, (levels, slots, Tg)) in enumerate(zip(graphs, metas)):
+        glen[i] = Tg
+        t = g.forward_transitions
+        fill = {}
+        for k in range(t.shape[0]):
+            s, d, n = int(t[k, 0]), int(t[k, 1]), int(t[k, 2])
+            lv = int(levels[d]) - 1          # arc consumed at frame lv
+            j = int(slots[d])
+            a = fill.get((lv, j), 0)
+            fill[(lv, j)] = a + 1
+            onehot[i, lv, j, a, int(slots[s])] = 1.0
+            logp[i, lv, j, a] = g.forward_transition_probs[k]
+            pdf[i, lv, j, a] = n
+        for s in range(g.num_states):
+            if levels[s] == Tg and np.isfinite(g.final_probs[s]):
+                final[i, int(slots[s])] = g.final_probs[s]
+    return LeveledArrays(
+        src_onehot=jnp.asarray(onehot, dtype),
+        logp=jnp.asarray(logp), pdf=jnp.asarray(pdf),
+        final=jnp.asarray(final), graph_len=jnp.asarray(glen))
+
+
+def _safe_log(v):
+    return jnp.where(v > 0, jnp.log(jnp.where(v > 0, v, 1.0)), NEG_INF)
+
+
+def _lse(v, axis):
+    m = jnp.max(v, axis=axis, keepdims=True)
+    msafe = jnp.where(jnp.isfinite(m), m, 0.0)
+    out = jnp.log(jnp.sum(jnp.exp(v - msafe), axis=axis)) \
+        + jnp.squeeze(msafe, axis)
+    return jnp.where(jnp.isfinite(jnp.squeeze(m, axis)), out, NEG_INF)
+
+
+def forward_backward_leveled(x, lengths, g: LeveledArrays) -> FwdBwdResult:
+    """Banded log-domain fwd-bwd.  x: (B, T, P) clamped log-probs.
+
+    Per-frame the alpha band is renormalised by its max m_t; the ll
+    carry accumulates the m's, and the beta sweep removes them again so
+    the occupancies telescope to true posteriors.
+    """
+    B, T, P = x.shape
+    Tg, W, A = g.logp.shape[1:]
+    kmax = min(Tg, T)
+    lengths = lengths.astype(jnp.int32)
+
+    # hoisted emissions: em[b,t,j,a] = x[b,t,pdf] as one one-hot einsum
+    # (gather-free: per-row TPU gathers cost ~8 cycles/element)
+    onehot_p = jax.nn.one_hot(g.pdf[:, :kmax], P, dtype=x.dtype)
+    em = jnp.einsum("btp,btjap->btja", x[:, :kmax], onehot_p)
+
+    arc_w = g.logp[:, :kmax] + em                    # (B, kmax, W, A)
+    ts = jnp.arange(kmax, dtype=jnp.int32)
+
+    alpha0 = jnp.full((B, W), NEG_INF, x.dtype).at[:, 0].set(0.0)
+
+    def fwd_step(carry, xs):
+        alpha, ll = carry
+        aw, oh, t = xs                               # (B,W,A), (B,W,A,W)
+        asel = _safe_log(jnp.einsum("bjaw,bw->bja", oh, jnp.exp(alpha)))
+        a_new = _lse(asel + aw, axis=2)              # (B, W)
+        # renormalise so exp(alpha) stays in range for the one-hot trick
+        m = jnp.max(a_new, axis=1, keepdims=True)
+        msafe = jnp.where(jnp.isfinite(m), m, 0.0)
+        a_new = a_new - msafe
+        active = t < lengths
+        alpha_out = jnp.where(active[:, None], a_new, alpha)
+        ll_out = jnp.where(active, ll + msafe[:, 0], ll)
+        return (alpha_out, ll_out), (alpha_out, msafe[:, 0])
+
+    aw_tm = jnp.swapaxes(arc_w, 0, 1)
+    oh_tm = jnp.swapaxes(g.src_onehot[:, :kmax], 0, 1)
+    (alpha_T, ll), (alpha_ys, m_ys) = jax.lax.scan(
+        fwd_step, (alpha0, jnp.zeros((B,), x.dtype)), (aw_tm, oh_tm, ts))
+
+    tlp_local = _lse(alpha_T + g.final, axis=1)      # (B,)
+    objf = ll + tlp_local
+    feasible = (lengths == g.graph_len) & (g.graph_len <= T)
+    objf = jnp.where(feasible, objf, NEG_INF)
+
+    # backward: stored beta_t := true_beta_t - objf + M_t, so that
+    # occupancy = exp(alpha_stored[src] + arc + beta_stored[dst] - m_t).
+    alphas = jnp.concatenate([alpha0[None], alpha_ys[:-1]], axis=0)
+
+    def bwd_step(beta, xs):
+        aw, oh, a_t, m_t, t = xs
+        inject = (g.graph_len == t + 1)
+        beta_eff = jnp.where(inject[:, None],
+                             g.final - tlp_local[:, None], beta)
+        vf = aw + beta_eff[:, :, None] - m_t[:, None, None]
+        asel = _safe_log(jnp.einsum("bjaw,bw->bja", oh, jnp.exp(a_t)))
+        occ = jnp.exp(asel + vf)                     # linear posteriors
+        b_new = _safe_log(jnp.einsum("bjaw,bja->bw", oh, jnp.exp(vf)))
+        active = t < lengths
+        beta_out = jnp.where(active[:, None], b_new, beta_eff)
+        occ = jnp.where(active[:, None, None], occ, 0.0)
+        return beta_out, occ
+
+    ts_rev = jnp.arange(kmax - 1, -1, -1, dtype=jnp.int32)
+    beta0 = jnp.full((B, W), NEG_INF, x.dtype)
+    _, occ_rev = jax.lax.scan(
+        bwd_step, beta0,
+        (aw_tm[::-1], oh_tm[::-1], alphas[::-1], m_ys[::-1], ts_rev))
+    occ = jnp.swapaxes(occ_rev[::-1], 0, 1)          # (B, kmax, W, A)
+
+    gamma_k = jnp.einsum("btja,btjap->btp", occ, onehot_p)
+    gamma_k = jnp.where(feasible[:, None, None], gamma_k, 0.0)
+    gamma = jnp.zeros((B, T, P), x.dtype).at[:, :kmax].set(gamma_k)
+
+    frame_mask = (jnp.arange(T, dtype=jnp.int32)[None, :]
+                  < lengths[:, None])
+    gamma_sum = gamma.sum(axis=2)
+    alpha_beta = jnp.where(frame_mask & feasible[:, None],
+                           gamma_sum, 0.0)
+    ok = feasible & jnp.isfinite(objf) \
+        & (jnp.abs(jnp.where(feasible, gamma_sum[:, 0], 1.0) - 1.0)
+           <= 0.05)
+    return FwdBwdResult(objf, gamma, ok, alpha_beta, gamma_sum)

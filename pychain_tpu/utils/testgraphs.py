@@ -83,3 +83,27 @@ def denominator_fst(num_phones=40, states_per_phone=2, num_pdfs=None,
                          pdf(int(nph), 0) + 1, float(rng.uniform(0.5, 3.0))))
         finals[end] = float(rng.uniform(0.5, 2.0))
     return FST.from_arcs(S, 0, arcs, finals), num_pdfs
+
+
+def sausage_fst(pdf_alternatives, seed=0):
+    """A time-synchronous 'sausage' supervision FST: at frame t, any of
+    ``pdf_alternatives[t]`` (a list of pdf ids) may be emitted, each
+    leading to the next level.  Mirrors the shape of Kaldi chain
+    numerator supervision (time-constrained lattices); width-1
+    everywhere reduces to a linear FST."""
+    rng = np.random.RandomState(seed)
+    arcs = []
+    num_states = 1
+    prev_level = [0]
+    for alts in pdf_alternatives:
+        width = max(1, min(len(alts), 4))
+        level = list(range(num_states, num_states + width))
+        num_states += width
+        for j, pdf in enumerate(alts[:width]):
+            dst = level[j % width]
+            for s in prev_level:
+                arcs.append((s, dst, int(pdf) + 1, int(pdf) + 1,
+                             float(rng.uniform(0.0, 0.5))))
+        prev_level = level
+    finals = {s: float(rng.uniform(0.0, 0.5)) for s in prev_level}
+    return FST.from_arcs(num_states, 0, arcs, finals)
