@@ -1,3 +1,4 @@
 from .tdnn import TDNN, TDNNConfig
+from .lstm import BLSTM, BLSTMConfig
 
-__all__ = ["TDNN", "TDNNConfig"]
+__all__ = ["TDNN", "TDNNConfig", "BLSTM", "BLSTMConfig"]

@@ -145,3 +145,32 @@ def test_log_domain_numerator_batch_sharded():
             jax.device_put(x, dp), jax.device_put(lengths, dp),
             jax.device_put(g, dp)))
     assert abs(got - ref) < 1e-3 * max(1.0, abs(ref))
+
+def test_blstm_shapes_grad_and_chain_loss():
+    from pychain_tpu.models import BLSTM, BLSTMConfig
+    from pychain_tpu.utils.testgraphs import linear_fst
+
+    cfg = BLSTMConfig(num_pdfs=12, hidden_dim=16, num_layers=2,
+                      dropout=0.0)
+    model = BLSTM(cfg)
+    x = jnp.ones((2, 7, 5))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(params, x, train=False)
+    assert out.shape == (2, 7, 12)
+    # end-to-end through the chain loss
+    rng = np.random.RandomState(0)
+    nums = [ChainGraph(linear_fst(rng.randint(0, 12, size=7)),
+                       log_domain=True) for _ in range(2)]
+    nb = ChainGraphBatch(nums, max_num_transitions=7, max_num_states=8)
+    den = ChainGraph(denominator_fst(num_phones=6, states_per_phone=2,
+                                     seed=0)[0])
+    from pychain_tpu.loss import chain_loss
+    db = ChainGraphBatch(den, 2)
+    lengths = jnp.array([7, 7], jnp.int32)
+
+    def loss_fn(p):
+        return chain_loss(model.apply(p, x, train=False), lengths, nb, db)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(l).all() for l in jax.tree.leaves(grads))
