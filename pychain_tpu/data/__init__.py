@@ -1,3 +1,19 @@
 from .bucketing import BucketSpec, LengthBucketer, pad_to_bucket
+from .kaldi_features import (
+    load_scp_entry,
+    read_feats_ark,
+    read_scp,
+    write_feats_ark,
+    write_scp,
+)
 
-__all__ = ["BucketSpec", "LengthBucketer", "pad_to_bucket"]
+__all__ = [
+    "BucketSpec",
+    "LengthBucketer",
+    "pad_to_bucket",
+    "read_feats_ark",
+    "write_feats_ark",
+    "read_scp",
+    "write_scp",
+    "load_scp_entry",
+]
