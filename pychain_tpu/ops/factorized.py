@@ -138,7 +138,17 @@ def from_factorized_graph(fg, initial, final, leaky,
     )
 
 
-def _apply_w(w: WArrays, v):
+def _mxu_precision(fa: "FactorizedArrays"):
+    """f32 tiles mean f32 math: on TPU the MXU's DEFAULT precision
+    rounds f32 operands to bfloat16 (~1e-3 relative), which would
+    silently break the parity engine.  bf16 tiles are the explicit
+    speed mode and keep the native single-pass rate."""
+    if fa.w1.tiles.dtype == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
+
+
+def _apply_w(w: WArrays, v, precision=jax.lax.Precision.HIGHEST):
     """W @ v for v (C_total, B) -> (w.out_rows, B):
     diagonal + dense block + sparse tiles."""
     c_total, B = v.shape
@@ -149,7 +159,8 @@ def _apply_w(w: WArrays, v):
     if w.dense is not None:
         R, C = w.dense.shape
         block = jnp.dot(w.dense, v[w.dense_c0:w.dense_c0 + C].astype(
-            w.dense.dtype), preferred_element_type=jnp.float32)
+            w.dense.dtype), preferred_element_type=jnp.float32,
+            precision=precision)
         out = out.at[w.dense_r0:w.dense_r0 + R].add(block)
     if w.tiles.shape[0] > 0:
         ntc = c_total // 128
@@ -157,7 +168,8 @@ def _apply_w(w: WArrays, v):
         cols = jnp.asarray(w.cols, jnp.int32)
         gathered = jnp.take(vt, cols, axis=0)               # (n, 128, B)
         prod = jnp.einsum("nij,njb->nib", w.tiles, gathered,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
         acc = jax.ops.segment_sum(prod, jnp.asarray(w.rows, jnp.int32),
                                   num_segments=w.out_rows // 128,
                                   indices_are_sorted=True)
@@ -183,6 +195,7 @@ def forward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
     T, P, B = px_tm.shape
     s_pad = fa.s_pad
     leaky = fa.leaky[:, None]
+    prec = _mxu_precision(fa)
 
     alpha0 = jnp.broadcast_to(fa.initial[:, None], (s_pad, B))
     s0 = alpha0.sum(axis=0)
@@ -193,10 +206,10 @@ def forward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
     def step(carry, xs):
         ad_prev, s_prev, loglike = carry
         px_t, t = xs
-        x_dst = _apply_w(fa.e_f, px_t)                    # (S_pad, B)
-        x_src = _apply_w(fa.e_g, px_t)
-        a = x_dst * _apply_w(fa.w1, ad_prev)
-        a = a + _apply_w(fa.w2, x_src * ad_prev)
+        x_dst = _apply_w(fa.e_f, px_t, prec)              # (S_pad, B)
+        x_src = _apply_w(fa.e_g, px_t, prec)
+        a = x_dst * _apply_w(fa.w1, ad_prev, prec)
+        a = a + _apply_w(fa.w2, x_src * ad_prev, prec)
         a = a + _residual_fwd(fa, ad_prev, px_t)
         a = a / s_prev[None, :]
         s_t = a.sum(axis=0)
@@ -232,6 +245,7 @@ def backward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
     s_pad = fa.s_pad
     leaky = fa.leaky[:, None]
     final = fa.final[:, None]
+    prec = _mxu_precision(fa)
     bd_final = final / tot_prob[None, :]
 
     ts = jnp.arange(T - 1, -1, -1, dtype=lengths.dtype)
@@ -243,20 +257,20 @@ def backward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
         bd_eff = jnp.where(inject[None, :], bd_final, bd_next)
         b_next = bd_eff + leaky_coefficient * (
             (bd_eff * leaky).sum(axis=0, keepdims=True))
-        x_dst = _apply_w(fa.e_f, px_t)
-        x_src = _apply_w(fa.e_g, px_t)
+        x_dst = _apply_w(fa.e_f, px_t, prec)
+        x_src = _apply_w(fa.e_g, px_t, prec)
         inv_s = 1.0 / s_t[None, :]
 
         xb = x_dst * b_next                                 # (S_pad, B)
-        w1t_term = _apply_w(fa.w1t, xb)
-        w2t_term = _apply_w(fa.w2t, b_next)
+        w1t_term = _apply_w(fa.w1t, xb, prec)
+        w2t_term = _apply_w(fa.w2t, b_next, prec)
         bd_t = (w1t_term + x_src * w2t_term) * inv_s
 
         # posteriors: pdf-attachment scatters as transposed E matmuls
-        w1_fwd = _apply_w(fa.w1, ad_t)
+        w1_fwd = _apply_w(fa.w1, ad_t, prec)
         c1 = xb * w1_fwd * inv_s                            # per-dst mass
         c2 = x_src * ad_t * w2t_term * inv_s                # per-src mass
-        gamma_t = _apply_w(fa.e_ft, c1) + _apply_w(fa.e_gt, c2)
+        gamma_t = _apply_w(fa.e_ft, c1, prec) + _apply_w(fa.e_gt, c2, prec)
 
         if fa.res_src.shape[0] > 0:
             vf = (fa.res_prob[:, None]

@@ -67,6 +67,10 @@ class _WK:
         self.rows = tuple(w.rows)
         self.cols = tuple(w.cols)
         self.mm = jnp.dtype(mm_dtype)
+        # f32 parity mode must not let the MXU round operands to bf16;
+        # bf16 fast mode keeps the native single-pass rate.
+        self.prec = (jax.lax.Precision.DEFAULT if self.mm == jnp.bfloat16
+                     else jax.lax.Precision.HIGHEST)
         self.arrays = []
         if self.has_diag:
             self.arrays.append(jnp.asarray(w.diag, jnp.float32)[:, None])
@@ -99,14 +103,16 @@ class _WK:
             i += 1
             R, C = dref.shape
             blk = jnp.dot(dref[:], v[self.c0:self.c0 + C].astype(self.mm),
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=self.prec)
             out_ref[self.r0:self.r0 + R, :] += blk
         if self.rows:
             tref = refs[i]
             for k, (r, c) in enumerate(zip(self.rows, self.cols)):
                 blk = jnp.dot(tref[k],
                               v[c * 128:(c + 1) * 128].astype(self.mm),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=self.prec)
                 out_ref[r * 128:(r + 1) * 128, :] += blk
 
 
