@@ -69,20 +69,26 @@ class LengthBucketer:
     def bucket_for(self, t: int) -> int:
         return self.spec.bucket_for(int(t))
 
-    def batches(self, lengths: Sequence[int],
-                batch_size: int) -> Iterator[np.ndarray]:
-        """Yield index arrays of size <= batch_size, grouped by length."""
+    def batches(self, lengths: Sequence[int], batch_size: int,
+                epoch: int = 0) -> Iterator[np.ndarray]:
+        """Yield index arrays of size <= batch_size, grouped by length.
+
+        ``epoch`` folds into the shuffle stream: different epochs (with
+        the same constructor seed) produce different group orders and
+        different intra-group permutations.
+        """
         lengths = np.asarray(lengths)
         order = np.argsort(lengths, kind="stable")
         groups = [order[i:i + batch_size]
                   for i in range(0, len(order), batch_size)]
         if self.shuffle:
-            rng = np.random.RandomState(self.seed)
+            rng = np.random.RandomState(
+                (self.seed * 2654435761 + epoch) % (2**31 - 1))
             rng.shuffle(groups)
         for g in groups:
             if self.shuffle:
                 g = g.copy()
-                np.random.RandomState(self.seed + len(g)).shuffle(g)
+                rng.shuffle(g)
             yield g
 
     def padded_shape(self, lengths: Sequence[int],
@@ -92,14 +98,25 @@ class LengthBucketer:
 
 def pad_to_bucket(features, idx, t_pad: int, pad_value: float = 0.0):
     """Gather ``features[i]`` (list of (T_i, D) arrays) for ``idx`` and
-    pad to a (len(idx), t_pad, D) batch."""
+    pad to a (len(idx), t_pad, D) batch.
+
+    Raises if any utterance is longer than ``t_pad``: silently
+    truncating would desynchronise the features from linear/leveled
+    numerator supervision (whose graph length must equal the utterance
+    length), turning the loss into -inf with no diagnostic.
+    """
     idx = np.asarray(idx)
     d = np.asarray(features[int(idx[0])]).shape[-1]
     out = np.full((len(idx), t_pad, d), pad_value, np.float32)
     lengths = np.zeros(len(idx), np.int32)
     for row, i in enumerate(idx):
         f = np.asarray(features[int(i)], np.float32)
-        t = min(f.shape[0], t_pad)
+        if f.shape[0] > t_pad:
+            raise ValueError(
+                f"utterance {int(i)} has {f.shape[0]} frames > bucket "
+                f"shape {t_pad}; enlarge the bucket ladder (max_t) or "
+                f"filter/chunk long utterances upstream")
+        t = f.shape[0]
         out[row, :t] = f[:t]
         lengths[row] = t
     return out, lengths

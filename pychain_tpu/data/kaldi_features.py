@@ -102,7 +102,12 @@ def write_scp(filename: str, ark_path: str, offsets: dict) -> None:
 
 
 def read_scp(filename: str):
-    """Parse an scp file into [(key, path, offset)]."""
+    """Parse an scp file into [(key, path, offset)].
+
+    Kaldi rxfilenames may be bare paths (``key path.ark``) or carry a
+    byte offset (``key path.ark:12345``); a bare path reads from offset
+    0 — after any leading binary header marker (see load_scp_entry).
+    """
     out = []
     with open(filename) as f:
         for line in f:
@@ -110,8 +115,11 @@ def read_scp(filename: str):
             if not parts:
                 continue
             key, rx = parts
-            path, _, off = rx.rpartition(":")
-            out.append((key, path, int(off)))
+            path, sep, off = rx.rpartition(":")
+            if sep and off.isdigit():
+                out.append((key, path, int(off)))
+            else:
+                out.append((key, rx, 0))
     return out
 
 

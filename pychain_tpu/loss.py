@@ -151,6 +151,36 @@ def _chain_objf_bwd(saved, ct):
 _chain_objf.defvjp(_chain_objf_fwd, _chain_objf_bwd)
 
 
+@jax.custom_vjp
+def _chain_objf_and_aux(x, lengths, g, leaky_coefficient):
+    """Single fwd-bwd returning (scalar objf, full FwdBwdResult).
+
+    The diagnostics in the aux result are treated as constants by the
+    VJP (their cotangents are ignored): only the scalar objective
+    carries gradient, exactly as in :func:`_chain_objf`.
+    """
+    res = _run(x, lengths, g, leaky_coefficient)
+    return res.objf.sum(), res
+
+
+def _chain_objf_and_aux_fwd(x, lengths, g, leaky_coefficient):
+    res = _run(x, lengths, g, leaky_coefficient)
+    return ((res.objf.sum(), res),
+            (res.gamma, lengths, g, leaky_coefficient))
+
+
+def _chain_objf_and_aux_bwd(saved, cts):
+    ct_objf, _ = cts
+    gamma, lengths, g, leaky_coefficient = saved
+    return (gamma * ct_objf,
+            _zero_ct(lengths),
+            jax.tree.map(_zero_ct, g),
+            _zero_ct(leaky_coefficient))
+
+
+_chain_objf_and_aux.defvjp(_chain_objf_and_aux_fwd, _chain_objf_and_aux_bwd)
+
+
 # -- public functional API ----------------------------------------------
 
 def chain_function(x, x_lengths, graphs, leaky_coefficient=1e-5,
@@ -179,11 +209,9 @@ def chain_function_with_aux(x, x_lengths, graphs, leaky_coefficient=1e-5,
     (objf, aux) with aux.objf per-sequence, aux.ok per-sequence sanity
     flags, and the per-frame invariant traces."""
     g = dispatch_arrays(graphs, impl)
-    res = _run(x, jnp.asarray(x_lengths), g,
-               jnp.asarray(leaky_coefficient, dtype=x.dtype))
-    # Reuse the custom_vjp path for the differentiable scalar.
-    objf = _chain_objf(x, jnp.asarray(x_lengths), g,
-                       jnp.asarray(leaky_coefficient, dtype=x.dtype))
+    objf, res = _chain_objf_and_aux(
+        x, jnp.asarray(x_lengths), g,
+        jnp.asarray(leaky_coefficient, dtype=x.dtype))
     return objf, res
 
 

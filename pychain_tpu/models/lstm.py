@@ -24,13 +24,19 @@ class BLSTMConfig:
 
 
 class BLSTM(nn.Module):
-    """x (B, T, D) -> per-frame pdf scores (B, T, num_pdfs)."""
+    """x (B, T, D) -> per-frame pdf scores (B, T, num_pdfs).
+
+    ``lengths`` (B,) masks padding: without it the reversed RNN would
+    consume the pad frames first and contaminate the backward states of
+    every short utterance in a bucket.
+    """
 
     config: BLSTMConfig
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, lengths=None):
         cfg = self.config
+        seq_lengths = None if lengths is None else jnp.asarray(lengths)
         for layer in range(cfg.num_layers):
             fwd = nn.RNN(nn.OptimizedLSTMCell(cfg.hidden_dim),
                          name=f"lstm_fwd_{layer}")
@@ -38,9 +44,11 @@ class BLSTM(nn.Module):
                 bwd = nn.RNN(nn.OptimizedLSTMCell(cfg.hidden_dim),
                              reverse=True, keep_order=True,
                              name=f"lstm_bwd_{layer}")
-                x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+                x = jnp.concatenate([fwd(x, seq_lengths=seq_lengths),
+                                     bwd(x, seq_lengths=seq_lengths)],
+                                    axis=-1)
             else:
-                x = fwd(x)
+                x = fwd(x, seq_lengths=seq_lengths)
             if cfg.dropout > 0:
                 x = nn.Dropout(rate=cfg.dropout,
                                deterministic=not train)(x)

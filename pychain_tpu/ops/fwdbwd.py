@@ -92,8 +92,10 @@ def _segment_sum(values, seg_ids, num_segments: int, shared: bool):
         f = lambda v: jax.ops.segment_sum(
             v, seg_ids, num_segments=num_segments, indices_are_sorted=True)
         return jax.vmap(f)(values)
+    # List-built batches pad arc ids with 0 AFTER the sorted real ids
+    # (graph.py list constructor), so sortedness cannot be promised here.
     f = lambda v, s: jax.ops.segment_sum(
-        v, s, num_segments=num_segments, indices_are_sorted=True)
+        v, s, num_segments=num_segments, indices_are_sorted=False)
     return jax.vmap(f)(values, seg_ids)
 
 
@@ -103,7 +105,7 @@ def _segment_max(values, seg_ids, num_segments: int, shared: bool):
             v, seg_ids, num_segments=num_segments, indices_are_sorted=True)
         return jax.vmap(f)(values)
     f = lambda v, s: jax.ops.segment_max(
-        v, s, num_segments=num_segments, indices_are_sorted=True)
+        v, s, num_segments=num_segments, indices_are_sorted=False)
     return jax.vmap(f)(values, seg_ids)
 
 

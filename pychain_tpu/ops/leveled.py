@@ -81,7 +81,14 @@ def is_leveled_graph(g, max_width: int = 16) -> bool:
     if levels is None:
         return False
     widths = np.bincount(levels)
-    return int(widths.max()) <= max_width
+    if int(widths.max()) > max_width:
+        return False
+    # The banded sweep injects final probs only at the terminal level;
+    # a graph that can legally terminate early (finite final prob at an
+    # intermediate level) would silently lose those paths — route it to
+    # the generic gather engine instead.
+    finals_at = np.isfinite(g.final_probs) & (levels != levels.max())
+    return not bool(finals_at.any())
 
 
 def leveled_arrays(graphs, dtype=jnp.float32) -> LeveledArrays:

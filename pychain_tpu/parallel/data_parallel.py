@@ -26,9 +26,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..loss import chain_function, graph_arrays
+from ..loss import chain_function, dispatch_arrays, graph_arrays
 from ..ops.fwdbwd import GraphArrays
 
 
@@ -68,27 +69,34 @@ def _graph_pspec(g: GraphArrays):
         shared=False)
 
 
-def pjit_chain_function(mesh: Mesh, graphs, leaky_coefficient=1e-5):
+def pjit_chain_function(mesh: Mesh, graphs, leaky_coefficient=1e-5,
+                        impl: str = "auto"):
     """Compile chain_function data-parallel over ``mesh``'s dp axis.
 
     Returns ``fn(x, lengths) -> objf`` where x (B, T, P) and lengths (B,)
     are sharded over dp and objf is the fully-reduced scalar.  B must be
     divisible by the dp axis size.
+
+    Each device runs the full single-device engine (selected by
+    ``impl`` via :func:`pychain_tpu.loss.dispatch_arrays` — factorized /
+    Pallas for a shared denominator) on its local batch shard via
+    ``shard_map``; only the scalar objective crosses ICI (one psum).
     """
-    g = graphs if isinstance(graphs, GraphArrays) else graph_arrays(graphs)
-    gspec = _graph_pspec(g)
+    g = dispatch_arrays(graphs, impl)
+    gspec = P() if getattr(g, "shared", True) else P("dp")
 
-    @partial(jax.jit,
-             in_shardings=(NamedSharding(mesh, P("dp")),
-                           NamedSharding(mesh, P("dp")),
-                           jax.tree.map(lambda s: NamedSharding(mesh, s),
-                                        gspec,
-                                        is_leaf=lambda v: isinstance(v, P))),
-             out_shardings=NamedSharding(mesh, P()))
-    def fn(x, lengths, g):
-        return chain_function(x, lengths, g, leaky_coefficient)
+    def local_fn(x, lengths, g):
+        objf = chain_function(x, lengths, g, leaky_coefficient)
+        return jax.lax.psum(objf, "dp")
 
-    return partial(fn, g=g)
+    # check_vma off: the engines seed scan carries from the replicated
+    # graph arrays, which the varying-axis checker flags when combined
+    # with dp-sharded activations; the math is shard-local by design.
+    fn = jax.jit(shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), gspec),
+        out_specs=P(), check_vma=False))
+    return lambda x, lengths: fn(x, lengths, g)
 
 
 class ShardedChainLoss:
@@ -96,41 +104,65 @@ class ShardedChainLoss:
     :class:`pychain_tpu.ChainLoss`, computed over a device mesh.
 
     Numerator graph batches must be constructed per-call (they differ per
-    minibatch); the denominator broadcast is replicated once.
+    minibatch); the denominator broadcast is replicated once and is
+    dispatched through the fast engines (``impl`` as in
+    :func:`pychain_tpu.loss.dispatch_arrays`: factorized MXU by default,
+    ``"pallas"`` for the fused-kernel fast mode).
+
+    The loss runs as one jitted ``shard_map`` over the mesh's dp axis:
+    every device executes the single-device engines on its local batch
+    shard and the scalar objective is ``psum``'d over ICI.  The mapped
+    function is built ONCE (per numerator engine structure); repeated
+    steps with the same bucket shapes hit the jit cache.
     """
 
     def __init__(self, mesh: Mesh, den_graph, leaky_coefficient=1e-5,
-                 avg=True):
+                 avg=True, impl: str = "auto"):
         from ..graph import ChainGraphBatch
         self.mesh = mesh
         self.den_graph = den_graph
         self.leaky_coefficient = leaky_coefficient
         self.avg = avg
+        self.impl = impl
         self._den_cache = {}
         self._ChainGraphBatch = ChainGraphBatch
+        self._fn = self._build()
+
+    def _build(self):
+        leaky_coefficient = self.leaky_coefficient
+        avg = self.avg
+
+        def local_loss(x, lengths, den_g, num_g):
+            den_objf = chain_function(x, lengths, den_g,
+                                      leaky_coefficient)
+            num_objf = chain_function(x, lengths, num_g)
+            objf = jax.lax.psum(-(num_objf - den_objf), "dp")
+            if avg:
+                objf = objf / jax.lax.psum(lengths.sum(), "dp")
+            return objf
+
+        # check_vma off: see pjit_chain_function.
+        return jax.jit(shard_map(
+            local_loss, mesh=self.mesh,
+            in_specs=(P("dp"), P("dp"), P(), P("dp")),
+            out_specs=P(), check_vma=False))
+
+    def den_arrays(self, batch_size: int):
+        """Engine arrays for the denominator broadcast to the PER-DEVICE
+        batch size (the graph is shared, so the device-local batch is
+        what the engine sees under shard_map)."""
+        if batch_size not in self._den_cache:
+            self._den_cache[batch_size] = dispatch_arrays(
+                self._ChainGraphBatch(self.den_graph, batch_size),
+                self.impl)
+        return self._den_cache[batch_size]
 
     def __call__(self, x, x_lengths, num_graphs):
         B = x.shape[0]
-        if B not in self._den_cache:
-            self._den_cache[B] = self._ChainGraphBatch(self.den_graph, B)
-        den = graph_arrays(self._den_cache[B])
-        num = (num_graphs if isinstance(num_graphs, GraphArrays)
-               else graph_arrays(num_graphs))
-
-        mesh = self.mesh
-
-        @partial(jax.jit, static_argnames=())
-        def loss_fn(x, lengths, den_g, num_g):
-            den_objf = chain_function(x, lengths, den_g,
-                                      self.leaky_coefficient)
-            num_objf = chain_function(x, lengths, num_g)
-            objf = -(num_objf - den_objf)
-            if self.avg:
-                objf = objf / lengths.sum()
-            return objf
-
-        with mesh:
-            x = jax.device_put(x, NamedSharding(mesh, P("dp")))
-            lengths = jax.device_put(jnp.asarray(x_lengths),
-                                     NamedSharding(mesh, P("dp")))
-            return loss_fn(x, lengths, den, num)
+        n_dp = self.mesh.shape["dp"]
+        if B % n_dp != 0:
+            raise ValueError(
+                f"batch size {B} not divisible by dp axis size {n_dp}")
+        den = self.den_arrays(B // n_dp)
+        num = dispatch_arrays(num_graphs, "auto")
+        return self._fn(x, jnp.asarray(x_lengths), den, num)

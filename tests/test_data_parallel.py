@@ -1,0 +1,111 @@
+"""Data-parallel (shard_map) path vs single-device engines.
+
+The distributed design (parallel/data_parallel.py): each device runs the
+full single-device engine on its local batch shard inside one jitted
+``shard_map``; only the scalar objective crosses the ICI (psum).  The
+reference has no distributed layer at all (SURVEY.md §2) — these tests
+pin down the new capability: loss/grad parity with the single-device
+engines, fast-engine dispatch, and the jit-once contract.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pychain_tpu import ChainGraph, ChainGraphBatch, ChainLoss
+from pychain_tpu.loss import chain_function, dispatch_arrays
+from pychain_tpu.parallel import (ShardedChainLoss, make_mesh,
+                                  pjit_chain_function)
+from pychain_tpu.utils.testgraphs import denominator_fst, linear_fst
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _setup(B=8, T=10, seed=0):
+    rng = np.random.RandomState(seed)
+    den_fst, P = denominator_fst(num_phones=8, states_per_phone=2,
+                                 seed=seed)
+    den = ChainGraph(den_fst)
+    nums = [ChainGraph(linear_fst(rng.randint(0, P, size=T)),
+                       log_domain=True) for _ in range(B)]
+    num_b = ChainGraphBatch(nums, max_num_transitions=T,
+                            max_num_states=T + 1)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = jnp.full((B,), T, jnp.int32)
+    return den, num_b, x, lengths
+
+
+def test_sharded_loss_matches_single_device_factorized():
+    den, num_b, x, lengths = _setup()
+    mesh = make_mesh(n_mp=1)
+
+    ref = float(ChainLoss(den)(x, lengths, num_b))
+    sharded = ShardedChainLoss(mesh, den, impl="factorized")
+    # the denominator must actually dispatch to the factorized engine
+    from pychain_tpu.ops.factorized import FactorizedArrays
+    assert isinstance(sharded.den_arrays(1), FactorizedArrays)
+
+    got = float(sharded(x, lengths, num_b))
+    assert abs(got - ref) < 1e-4 * max(1.0, abs(ref)), (got, ref)
+
+
+def test_sharded_loss_grad_matches_single_device():
+    den, num_b, x, lengths = _setup(seed=1)
+    mesh = make_mesh(n_mp=1)
+    sharded = ShardedChainLoss(mesh, den, impl="factorized")
+    loss_mod = ChainLoss(den)
+
+    g_ref = jax.grad(lambda xx: loss_mod(xx, lengths, num_b))(x)
+    g_dp = jax.grad(lambda xx: sharded(xx, lengths, num_b))(x)
+    np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_loss_jits_once():
+    """Repeated steps with identical bucket shapes must not retrace."""
+    den, num_b, x, lengths = _setup(seed=2)
+    mesh = make_mesh(n_mp=1)
+    sharded = ShardedChainLoss(mesh, den)
+
+    v1 = float(sharded(x, lengths, num_b))
+    traces0 = sharded._fn._cache_size()
+    v2 = float(sharded(x * 1.01, lengths, num_b))
+    assert sharded._fn._cache_size() == traces0 == 1
+    assert v1 != v2  # values flow, no stale caching
+
+
+def test_sharded_loss_rejects_indivisible_batch():
+    den, num_b, x, lengths = _setup()
+    mesh = make_mesh(n_mp=1)
+    sharded = ShardedChainLoss(mesh, den)
+    with pytest.raises(ValueError, match="divisible"):
+        sharded(x[:6], lengths[:6], num_b)
+
+
+def test_pjit_chain_function_fast_engine():
+    den, _, x, lengths = _setup(seed=3)
+    mesh = make_mesh(n_mp=1)
+    batch = ChainGraphBatch(den, 1)  # shared: per-device B is free
+    ref = float(chain_function(x, lengths,
+                               dispatch_arrays(batch, "factorized")))
+    fn = pjit_chain_function(mesh, batch, impl="factorized")
+    got = float(fn(x, lengths))
+    assert abs(got - ref) < 1e-4 * max(1.0, abs(ref)), (got, ref)
+
+
+def test_sharded_loss_unequal_lengths():
+    """avg divides by the global length sum, psum'd over shards."""
+    den, _, x, _ = _setup(seed=4)
+    B, T, P = x.shape
+    rng = np.random.RandomState(4)
+    lengths = jnp.asarray(np.array([10, 9, 8, 7, 10, 9, 8, 7], np.int32))
+    nums = [ChainGraph(linear_fst(rng.randint(0, P, size=int(l))),
+                       log_domain=True) for l in lengths]
+    num_b = ChainGraphBatch(nums, max_num_transitions=T,
+                            max_num_states=T + 1)
+    mesh = make_mesh(n_mp=1)
+    ref = float(ChainLoss(den)(x, lengths, num_b))
+    got = float(ShardedChainLoss(mesh, den)(x, lengths, num_b))
+    assert abs(got - ref) < 1e-4 * max(1.0, abs(ref)), (got, ref)
