@@ -1,0 +1,127 @@
+"""bf16 fast-mode parity: the BENCHED configuration is the TESTED one.
+
+bench.py's headline engine is Pallas with ``tile_dtype="bfloat16"``
+(transition-matrix tiles quantised to bf16, f32 accumulators).  These
+tests build exactly that batch configuration and bound its error
+against the f32 engines:
+
+* objf: relative error ~ |log| of the bf16 quantisation of transition
+  probs (~0.4% per arc, but errors largely cancel over the renormalised
+  recurrence) — budget 2e-2 relative on per-seq objf, 3e-2 on gamma.
+* the alpha*beta == 1 and sum(gamma) == 1 invariants must hold within
+  the same budget on active frames.
+
+On CPU CI the kernels run in Pallas interpreter mode; a separate
+subprocess test (gated on the TPU tunnel env) compiles the real kernels
+on the chip at a non-trivial size.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pychain_tpu import ChainGraph, ChainGraphBatch
+from pychain_tpu.loss import chain_function, chain_function_with_aux
+from pychain_tpu.utils.testgraphs import denominator_fst
+
+
+def _bf16_case(num_phones=10, B=4, T=9, seed=0):
+    rng = np.random.RandomState(seed)
+    den_fst, P = denominator_fst(num_phones=num_phones,
+                                 states_per_phone=2, seed=seed)
+    den = ChainGraph(den_fst, log_domain=False)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.linspace(T, max(1, T // 3), B).astype(np.int32)
+    f32 = ChainGraphBatch(den, B)
+    bf16 = ChainGraphBatch(den, B, tile_dtype="bfloat16")
+    return x, lengths, f32, bf16
+
+
+def test_pallas_bf16_tiles_match_f32_factorized():
+    x, lengths, f32, bf16 = _bf16_case()
+    assert bf16._fact.w1.tiles.dtype == jnp.bfloat16
+
+    _, ref = chain_function_with_aux(x, lengths, f32, impl="factorized")
+    _, got = chain_function_with_aux(x, lengths, bf16, impl="pallas")
+
+    np.testing.assert_allclose(np.asarray(got.objf), np.asarray(ref.objf),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got.gamma),
+                               np.asarray(ref.gamma), rtol=3e-2, atol=5e-3)
+    assert np.all(np.asarray(got.ok))
+    for b in range(x.shape[0]):
+        for t in range(int(lengths[b])):
+            assert abs(got.alpha_beta[b, t] - 1.0) < 2e-2
+            assert abs(got.gamma_sum[b, t] - 1.0) < 2e-2
+
+
+def test_factorized_bf16_tiles_match_f32():
+    """The XLA factorized engine also honours bf16 tiles (same budget)."""
+    x, lengths, f32, bf16 = _bf16_case(seed=1)
+    _, ref = chain_function_with_aux(x, lengths, f32, impl="factorized")
+    _, got = chain_function_with_aux(x, lengths, bf16, impl="factorized")
+    np.testing.assert_allclose(np.asarray(got.objf), np.asarray(ref.objf),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got.gamma),
+                               np.asarray(ref.gamma), rtol=3e-2, atol=5e-3)
+
+
+def test_pallas_bf16_gradient():
+    x, lengths, f32, bf16 = _bf16_case(seed=2)
+    g_ref = jax.grad(lambda xx: chain_function(
+        xx, lengths, f32, impl="factorized"))(x)
+    g_bf = jax.grad(lambda xx: chain_function(
+        xx, lengths, bf16, impl="pallas"))(x)
+    np.testing.assert_allclose(np.asarray(g_bf), np.asarray(g_ref),
+                               rtol=3e-2, atol=5e-3)
+
+
+_TPU_SNIPPET = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax, jax.numpy as jnp
+assert jax.default_backend() not in ("cpu",), jax.default_backend()
+from pychain_tpu import ChainGraph, ChainGraphBatch
+from pychain_tpu.loss import chain_function_with_aux
+from pychain_tpu.utils.testgraphs import denominator_fst
+
+rng = np.random.RandomState(0)
+den_fst, P = denominator_fst(num_phones=100, states_per_phone=2, seed=0,
+                             bigram_fanout=10)
+den = ChainGraph(den_fst, log_domain=False)
+B, T = 16, 50
+x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+lengths = np.linspace(T, T // 2, B).astype(np.int32)
+_, ref = chain_function_with_aux(x, lengths, ChainGraphBatch(den, B),
+                                 impl="factorized")
+_, got = chain_function_with_aux(
+    x, lengths, ChainGraphBatch(den, B, tile_dtype="bfloat16"),
+    impl="pallas")
+np.testing.assert_allclose(np.asarray(got.objf), np.asarray(ref.objf),
+                           rtol=2e-2, atol=2e-2)
+np.testing.assert_allclose(np.asarray(got.gamma), np.asarray(ref.gamma),
+                           rtol=3e-2, atol=5e-3)
+assert np.all(np.asarray(got.ok))
+print("TPU-BF16-PARITY-OK S=%d" % den.num_states)
+"""
+
+
+@pytest.mark.skipif("PALLAS_AXON_POOL_IPS" not in os.environ,
+                    reason="needs the real TPU tunnel")
+def test_pallas_bf16_on_tpu_hardware():
+    """Compile the real (non-interpreted) kernels on the chip: S~200
+    graph, B=16, T=50 — the bench configuration scaled to CI budget."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", _TPU_SNIPPET.format(repo=repo)],
+        capture_output=True, text=True, timeout=540, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "TPU-BF16-PARITY-OK" in proc.stdout
