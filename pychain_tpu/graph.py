@@ -155,6 +155,7 @@ class ChainGraphBatch:
         self.shared = True
         self._linear = None
         self._leveled = None
+        self._semiring = None
         self.num_states = graph.num_states
         self.num_transitions = graph.num_transitions
 
@@ -199,6 +200,7 @@ class ChainGraphBatch:
         # form (ops/linear.py) — no sequential scan at all.
         self._linear = None
         self._leveled = None
+        self._semiring = None
         if self.log_domain:
             from .ops.linear import is_linear_graph, linear_arrays
             if all(is_linear_graph(g) for g in graphs):
@@ -207,6 +209,14 @@ class ChainGraphBatch:
                 from .ops.leveled import is_leveled_graph, leveled_arrays
                 if all(is_leveled_graph(g) for g in graphs):
                     self._leveled = leveled_arrays(graphs)
+                else:
+                    # Arbitrary (cyclic/self-loop/DAG) supervision:
+                    # dense one-hot MXU engine when the B*K*S one-hots
+                    # fit the budget, else the generic gather engine.
+                    from .ops.semiring import fits_budget, semiring_arrays
+                    if fits_budget(self.batch_size, max_k, max_s):
+                        self._semiring = semiring_arrays(graphs, max_k,
+                                                         max_s)
         self.num_states = max_s
         self.num_transitions = max_k
         B = self.batch_size
@@ -327,7 +337,8 @@ class ChainGraphBatch:
     _leaves = ("_fwd_src", "_fwd_dst", "_fwd_pdf", "_fwd_prob",
                "_bwd_src", "_bwd_dst", "_bwd_pdf", "_bwd_prob",
                "_initial", "_final", "_leaky", "_fwd_indices",
-               "_bwd_indices", "_start", "_fact", "_linear", "_leveled")
+               "_bwd_indices", "_start", "_fact", "_linear", "_leveled",
+               "_semiring")
 
     def tree_flatten(self):
         children = tuple(getattr(self, n) for n in self._leaves)

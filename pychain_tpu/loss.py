@@ -35,6 +35,7 @@ from .graph import ChainGraph, ChainGraphBatch
 from .ops.factorized import FactorizedArrays, forward_backward_prob_fact
 from .ops.leveled import LeveledArrays, forward_backward_leveled
 from .ops.linear import LinearArrays, forward_backward_linear
+from .ops.semiring import SemiringArrays, forward_backward_semiring
 from .ops.fwdbwd import (
     GraphArrays,
     FwdBwdResult,
@@ -61,13 +62,15 @@ def dispatch_arrays(graphs, impl: str = "auto"):
     """Pick the kernel-facing pytree for a graph batch.
 
     impl: "auto" (linear closed form for linear-chain numerator
-    batches, factorized MXU path for shared prob-domain graphs, generic
-    gather path otherwise), "gather", "linear", "factorized", or
-    "pallas" (fused VMEM-resident kernels, bfloat16 fast mode; requires
-    a fully factorized shared graph).
+    batches, leveled band for time-synchronous batches, one-hot
+    semiring MXU engine for arbitrary log-domain batches within budget,
+    factorized MXU path for shared prob-domain graphs, generic gather
+    path otherwise), "gather", "linear", "leveled", "semiring",
+    "factorized", or "pallas" (fused VMEM-resident kernels, bfloat16
+    fast mode; requires a fully factorized shared graph).
     """
     if isinstance(graphs, (GraphArrays, FactorizedArrays, LinearArrays,
-                           LeveledArrays)):
+                           LeveledArrays, SemiringArrays)):
         return graphs
     if impl == "gather":
         return graph_arrays(graphs)
@@ -83,6 +86,12 @@ def dispatch_arrays(graphs, impl: str = "auto"):
     if impl == "leveled":
         raise ValueError("leveled impl requires a batch of time-"
                          "synchronous log-domain graphs")
+    semiring = getattr(graphs, "_semiring", None)
+    if semiring is not None and impl in ("auto", "semiring"):
+        return semiring
+    if impl == "semiring":
+        raise ValueError("semiring impl requires a list-built log-domain "
+                         "batch within the one-hot size budget")
     fact = getattr(graphs, "_fact", None)
     if impl == "pallas":
         from .ops.pallas_fact import supports
@@ -114,6 +123,8 @@ def _run(x, lengths, g, leaky_coefficient) -> FwdBwdResult:
         return forward_backward_linear(x, lengths, g)
     if isinstance(g, LeveledArrays):
         return forward_backward_leveled(x, lengths, g)
+    if isinstance(g, SemiringArrays):
+        return forward_backward_semiring(x, lengths, g)
     if isinstance(g, FactorizedArrays):
         if g.engine == "pallas":
             from .ops.pallas_fact import forward_backward_prob_pallas
