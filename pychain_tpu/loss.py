@@ -87,9 +87,19 @@ def dispatch_arrays(graphs, impl: str = "auto"):
         raise ValueError("leveled impl requires a batch of time-"
                          "synchronous log-domain graphs")
     semiring = getattr(graphs, "_semiring", None)
-    if semiring is not None and impl in ("auto", "semiring"):
+    if semiring is not None and impl in ("auto", "semiring",
+                                         "semiring_pallas"):
+        if impl == "semiring_pallas":
+            # Fused-kernel variant; measured slower than the XLA scan
+            # at numerator sizes (the hot contractions are VPU-bound
+            # batched matvecs either way), kept for larger-S regimes.
+            from .ops.pallas_semiring import supports as sr_supports
+            if not sr_supports(semiring):
+                raise ValueError("semiring_pallas: one-hots exceed the "
+                                 "VMEM budget for this batch")
+            return dataclasses.replace(semiring, engine="pallas")
         return semiring
-    if impl == "semiring":
+    if impl in ("semiring", "semiring_pallas"):
         raise ValueError("semiring impl requires a list-built log-domain "
                          "batch within the one-hot size budget")
     fact = getattr(graphs, "_fact", None)
@@ -124,6 +134,10 @@ def _run(x, lengths, g, leaky_coefficient) -> FwdBwdResult:
     if isinstance(g, LeveledArrays):
         return forward_backward_leveled(x, lengths, g)
     if isinstance(g, SemiringArrays):
+        if g.engine == "pallas":
+            from .ops.pallas_semiring import (
+                forward_backward_semiring_pallas)
+            return forward_backward_semiring_pallas(x, lengths, g)
         return forward_backward_semiring(x, lengths, g)
     if isinstance(g, FactorizedArrays):
         if g.engine == "pallas":

@@ -53,6 +53,10 @@ class SemiringArrays:
     logp: jax.Array     # (B, K) f32 arc log-probs (-inf on padding)
     initial: jax.Array  # (B, S) f32 log initial probs
     final: jax.Array    # (B, S) f32 log final probs
+    # execution engine: "xla" (lax.scan of einsums) or "pallas"
+    # (VMEM-resident fused kernels; same f32 numerics)
+    engine: str = dataclasses.field(default="xla",
+                                    metadata=dict(static=True))
 
     @property
     def num_states(self) -> int:
@@ -89,6 +93,38 @@ def semiring_arrays(graphs, max_k: int, max_s: int) -> SemiringArrays:
 
 _PREC = jax.lax.Precision.HIGHEST  # parity engine: f32 means f32
 
+# Per-element TPU gathers/scatters cost ~8 cycles regardless of size;
+# a (B, K, P) one-hot contraction on the MXU is ~40x faster at these
+# shapes and bit-exact (one-hot entries).  Above this element budget
+# the materialised one-hot would not pay for itself in HBM.
+ONEHOT_EM_BUDGET = 1 << 26
+
+
+def _emissions(x, g: SemiringArrays):
+    """Arc emissions em[b,t,k] = x[b,t,pdf[b,k]] for all frames at once.
+
+    One-hot matmul when (B, K, P) fits the budget (bit-exact, MXU),
+    else a single big gather."""
+    B, T, P = x.shape
+    K = g.pdf.shape[1]
+    if B * K * P <= ONEHOT_EM_BUDGET:
+        oh = jax.nn.one_hot(g.pdf, P, dtype=x.dtype)        # (B, K, P)
+        return jnp.einsum("btp,bkp->btk", x, oh, precision=_PREC)
+    return jnp.take_along_axis(
+        x, jnp.broadcast_to(g.pdf[:, None, :], (B, T, K)), axis=2)
+
+
+def _gamma_from_occ(occ, g: SemiringArrays, P: int):
+    """gamma[b,t,p] = sum_k occ[b,t,k] [pdf[b,k] == p] — transposed
+    one-hot matmul within budget, else a vmapped segment-sum."""
+    B, T, K = occ.shape
+    if B * K * P <= ONEHOT_EM_BUDGET:
+        oh = jax.nn.one_hot(g.pdf, P, dtype=occ.dtype)
+        return jnp.einsum("btk,bkp->btp", occ, oh, precision=_PREC)
+    return jax.vmap(
+        lambda o, p: jax.ops.segment_sum(o.T, p, num_segments=P).T
+    )(occ, g.pdf)
+
 
 def _safe_log(v):
     return jnp.where(v > 0, jnp.log(jnp.where(v > 0, v, 1.0)), NEG_INF)
@@ -124,9 +160,8 @@ def forward_backward_semiring(x, lengths, g: SemiringArrays) -> FwdBwdResult:
     K = g.logp.shape[1]
     lengths = lengths.astype(jnp.int32)
 
-    # Hoisted arc emissions: one gather over all frames at once.
-    em = jnp.take_along_axis(
-        x, jnp.broadcast_to(g.pdf[:, None, :], (B, T, K)), axis=2)
+    # Hoisted arc emissions: one one-hot contraction over all frames.
+    em = _emissions(x, g)
     arc = g.logp[:, None, :] + em                       # (B, T, K)
     warc, c = _shift_exp(arc)                           # (B,T,K), (B,T)
 
@@ -202,10 +237,8 @@ def forward_backward_semiring(x, lengths, g: SemiringArrays) -> FwdBwdResult:
     occ = jnp.swapaxes(occ_rev[::-1], 0, 1)             # (B, T, K)
     alpha_beta = jnp.swapaxes(jnp.exp(ab_rev[::-1]), 0, 1)
 
-    # Deterministic gamma: one vmapped segment-sum over arcs -> pdfs.
-    gamma = jax.vmap(
-        lambda o, p: jax.ops.segment_sum(o.T, p, num_segments=P).T
-    )(occ, g.pdf)                                       # (B, T, P)
+    # Deterministic gamma: one one-hot contraction arcs -> pdfs.
+    gamma = _gamma_from_occ(occ, g, P)                  # (B, T, P)
     gamma_sum = gamma.sum(axis=2)
     ok = _ok_flags(objf, alpha_beta, gamma_sum)
     return FwdBwdResult(objf, gamma, ok, alpha_beta, gamma_sum)

@@ -97,6 +97,32 @@ def test_semiring_gradient_matches_gather():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_semiring_pallas_matches_xla():
+    """The fused-kernel variant (interpret mode on CPU) reproduces the
+    XLA scan to f32 noise, including masking and invariants."""
+    rng = np.random.RandomState(4)
+    B, T, P = 4, 10, 6
+    batch = _cyclic_batch(B, P, seed=4)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.array([10, 7, 4, 1], np.int32)
+    _, rs = chain_function_with_aux(x, lengths, batch, impl="semiring")
+    _, rp = chain_function_with_aux(x, lengths, batch,
+                                    impl="semiring_pallas")
+    np.testing.assert_allclose(np.asarray(rp.objf), np.asarray(rs.objf),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rp.gamma), np.asarray(rs.gamma),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rp.alpha_beta),
+                               np.asarray(rs.alpha_beta),
+                               rtol=1e-4, atol=1e-6)
+    g_s = jax.grad(lambda xx: chain_function(xx, lengths, batch,
+                                             impl="semiring"))(x)
+    g_p = jax.grad(lambda xx: chain_function(xx, lengths, batch,
+                                             impl="semiring_pallas"))(x)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_semiring_budget_fallback(monkeypatch):
     """Batches beyond the one-hot budget fall back to gather silently."""
     import pychain_tpu.ops.semiring as sr
