@@ -10,7 +10,12 @@ Formats implemented directly (no Kaldi dependency):
   1-byte size prefix),
 * scp lines: ``key path:offset`` with offset pointing at the ``\\0B``
   marker,
-* optional CompressedMatrix is NOT supported (raise cleanly).
+* CompressedMatrix (``CM``/``CM2``/``CM3`` tokens): real corpora ship
+  feats.ark written with copy-feats --compress=true.  Decoded per the
+  Kaldi format spec (src/matrix/compressed-matrix.h): a global
+  {min, range, rows, cols} header, then either per-column uint16
+  percentile headers + uint8 payload in the 64/128/63 piecewise code
+  (CM), plain uint16 (CM2), or plain uint8 (CM3).
 """
 
 from __future__ import annotations
@@ -45,16 +50,104 @@ def read_matrix(f) -> np.ndarray:
         dtype = np.dtype("<f4")
     elif tok == b"DM":
         dtype = np.dtype("<f8")
-    elif tok == b"CM":
-        raise NotImplementedError(
-            "Kaldi CompressedMatrix is not supported; re-copy features "
-            "with copy-feats --compress=false")
+    elif tok in (b"CM", b"CM2", b"CM3"):
+        return _read_compressed_matrix(f, tok)
     else:
         raise ValueError(f"unsupported Kaldi matrix token {tok!r}")
     rows = _read_basic_int32(f)
     cols = _read_basic_int32(f)
     data = np.frombuffer(f.read(rows * cols * dtype.itemsize), dtype)
     return data.reshape(rows, cols).astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# CompressedMatrix (kaldi src/matrix/compressed-matrix.{h,cc})
+# ----------------------------------------------------------------------
+#
+# GlobalHeader (raw, no size prefixes): f32 min_value, f32 range,
+# i32 num_rows, i32 num_cols.  Three payload formats:
+#   CM  (kOneByteWithColHeaders): per column, 4 uint16 percentiles
+#       (p0, p25, p75, p100 on the min+range*u/65535 grid) followed by
+#       num_rows uint8 codes, columns stored sequentially; a code c
+#       maps piecewise-linearly over [p0,p25] (c in 0..64),
+#       [p25,p75] (64..192), [p75,p100] (192..255).
+#   CM2 (kTwoByte):  uint16 per element, row-major, min+range*u/65535.
+#   CM3 (kOneByte):  uint8  per element, row-major, min+range*u/255.
+
+def _read_compressed_matrix(f, tok) -> np.ndarray:
+    min_value, rng, rows, cols = struct.unpack("<ffii", f.read(16))
+    if tok == b"CM2":
+        u = np.frombuffer(f.read(rows * cols * 2), "<u2")
+        return (min_value + rng * u.astype(np.float32) / 65535.0) \
+            .reshape(rows, cols)
+    if tok == b"CM3":
+        u = np.frombuffer(f.read(rows * cols), np.uint8)
+        return (min_value + rng * u.astype(np.float32) / 255.0) \
+            .reshape(rows, cols)
+    out = np.empty((rows, cols), np.float32)
+    payload = f.read(cols * (8 + rows))
+    for c in range(cols):
+        base = c * (8 + rows)
+        pu = np.frombuffer(payload[base:base + 8], "<u2")
+        p0, p25, p75, p100 = (
+            min_value + rng * pu.astype(np.float32) / 65535.0)
+        code = np.frombuffer(payload[base + 8:base + 8 + rows],
+                             np.uint8).astype(np.float32)
+        lo = p0 + (p25 - p0) * (code / 64.0)
+        mid = p25 + (p75 - p25) * ((code - 64.0) / 128.0)
+        hi = p75 + (p100 - p75) * ((code - 192.0) / 63.0)
+        out[:, c] = np.where(code <= 64, lo,
+                             np.where(code <= 192, mid, hi))
+    return out
+
+
+def _float_to_u16(v, min_value, rng):
+    return np.clip((v - min_value) / max(rng, 1e-20) * 65535.0,
+                   0, 65535).astype("<u2")
+
+
+def write_compressed_matrix(f, mat: np.ndarray, fmt: int = 1) -> None:
+    """Encode a matrix in the CompressedMatrix wire format (for tests
+    and for writing compact feature arks; fmt in {1, 2, 3})."""
+    mat = np.asarray(mat, np.float32)
+    rows, cols = mat.shape
+    min_value = float(mat.min()) if mat.size else 0.0
+    rng = max(float(mat.max()) - min_value, 1e-5) if mat.size else 1.0
+    tok = {1: b"CM ", 2: b"CM2 ", 3: b"CM3 "}[fmt]
+    f.write(tok)
+    f.write(struct.pack("<ffii", min_value, rng, rows, cols))
+    if fmt == 2:
+        f.write(_float_to_u16(mat, min_value, rng).tobytes())
+        return
+    if fmt == 3:
+        u = np.clip((mat - min_value) / rng * 255.0, 0, 255)
+        f.write(u.astype(np.uint8).tobytes())
+        return
+    for c in range(cols):
+        col = mat[:, c]
+        srt = np.sort(col)
+        quart = max(rows // 4, 1) if rows else 0
+        pu = _float_to_u16(
+            np.array([srt[0], srt[min(quart, rows - 1)],
+                      srt[min(3 * quart, rows - 1)], srt[-1]]),
+            min_value, rng)
+        # percentile grid points must be strictly increasing to avoid
+        # zero-width segments (kaldi spaces them the same way)
+        for i in range(1, 4):
+            pu[i] = max(pu[i], pu[i - 1] + 1)
+        p0, p25, p75, p100 = (min_value
+                              + rng * pu.astype(np.float32) / 65535.0)
+        code = np.where(
+            col <= p25,
+            np.clip((col - p0) / (p25 - p0) * 64.0, 0, 64),
+            np.where(
+                col <= p75,
+                64.0 + np.clip((col - p25) / (p75 - p25) * 128.0,
+                               0, 128),
+                192.0 + np.clip((col - p75) / (p100 - p75) * 63.0,
+                                0, 63)))
+        f.write(pu.tobytes())
+        f.write(np.rint(code).astype(np.uint8).tobytes())
 
 
 def write_matrix(f, mat: np.ndarray) -> None:

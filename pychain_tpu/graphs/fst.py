@@ -8,6 +8,10 @@ implement the on-disk formats directly:
 * OpenFST binary ``VectorFst<StdArc>`` read/write
   (the format the reference reads via ``StdVectorFst::Read``,
   fstext.cc:178, and from Kaldi ark offsets, fstext.cc:7-17),
+* OpenFST binary ``ConstFst<StdArc>`` read (aligned and unaligned),
+  and files with embedded symbol tables (tables are skipped; labels
+  stay numeric) — everything OpenFST reads transparently for the
+  reference is accepted here too,
 * the AT&T text format (``fstcompile``-style),
 * Kaldi ``.ark`` archives of FSTs (``read_ark``/``write_ark``).
 
@@ -35,9 +39,30 @@ _VECTOR_FST_FILE_VERSION = 2
 # FstHeader flag bits indicating embedded symbol tables.
 _HAS_ISYMBOLS = 0x1
 _HAS_OSYMBOLS = 0x2
+_SYMBOL_TABLE_MAGIC = 2125658996  # openfst symbol-table.cc
+_CONST_FILE_VERSION = 2           # const-fst.h kFileVersion (unaligned)
+_CONST_ALIGNED_VERSION = 1        # kAlignedFileVersion (16-byte aligned)
+_CONST_ALIGN = 16                 # MappedFile::kArchAlignment
 
 NO_STATE_ID = -1
 INFINITY = float("inf")
+
+
+def _skip_symbol_table(f) -> None:
+    """Skip one serialized OpenFST SymbolTable (symbol-table.cc): magic,
+    name string, available_key i64, size i64, then (string, i64 key)
+    per symbol.  Labels in this package stay numeric, matching
+    fst_to_tensor's pdf_id = ilabel - 1 semantics."""
+    magic = struct.unpack("<i", f.read(4))[0]
+    if magic != _SYMBOL_TABLE_MAGIC:
+        raise ValueError(f"bad symbol table magic {magic}")
+    name_len = struct.unpack("<i", f.read(4))[0]
+    f.read(name_len)
+    f.read(8)  # available_key
+    size = struct.unpack("<q", f.read(8))[0]
+    for _ in range(size):
+        slen = struct.unpack("<i", f.read(4))[0]
+        f.read(slen + 8)
 
 
 @dataclass
@@ -185,14 +210,17 @@ class FST:
         _properties = struct.unpack("<Q", f.read(8))[0]
         start = read_i64()
         num_states = read_i64()
-        _num_arcs = read_i64()
-        if flags & (_HAS_ISYMBOLS | _HAS_OSYMBOLS):
-            raise NotImplementedError(
-                "FSTs with embedded symbol tables are not supported; "
-                "strip them with fstcompile --keep_{i,o}symbols=false"
-            )
+        num_arcs = read_i64()
+        # Embedded symbol tables sit between the header and the states
+        # (FstImpl::ReadHeader); the reference reads them transparently
+        # through OpenFST — we skip them (labels stay numeric).
+        if flags & _HAS_ISYMBOLS:
+            _skip_symbol_table(f)
+        if flags & _HAS_OSYMBOLS:
+            _skip_symbol_table(f)
         if fsttype == b"const":
-            raise NotImplementedError("ConstFst reading not implemented")
+            return FST._read_const_body(f, version, start, num_states,
+                                        num_arcs)
         if version < 2:
             raise ValueError(f"unsupported VectorFst version {version}")
 
@@ -221,6 +249,54 @@ class FST:
         fst = FST(
             start=int(start),
             final=final,
+            arc_offsets=offsets,
+            ilabels=arcs["il"].astype(np.int32),
+            olabels=arcs["ol"].astype(np.int32),
+            weights=arcs["w"].astype(np.float32),
+            nextstates=arcs["ns"].astype(np.int32),
+        )
+        fst.validate()
+        return fst
+
+    @staticmethod
+    def _read_const_body(f, version, start, num_states, num_arcs) -> "FST":
+        """ConstFst<StdArc, uint32> payload (openfst const-fst.h): a
+        flat array of {f32 final, u32 pos, u32 narcs, u32 niepsilons,
+        u32 noepsilons} state records followed by a flat array of
+        {i32 il, i32 ol, f32 w, i32 ns} arcs.  The aligned variant
+        (version 1) pads each array to a 16-byte file offset."""
+        if version not in (_CONST_FILE_VERSION, _CONST_ALIGNED_VERSION):
+            raise ValueError(f"unsupported ConstFst version {version}")
+
+        def align():
+            if version == _CONST_ALIGNED_VERSION:
+                pad = (-f.tell()) % _CONST_ALIGN
+                if pad:
+                    f.read(pad)
+
+        if num_states <= 0:
+            return FST()
+        state_dt = np.dtype([("final", "<f4"), ("pos", "<u4"),
+                             ("narcs", "<u4"), ("nieps", "<u4"),
+                             ("noeps", "<u4")])
+        arc_dt = np.dtype([("il", "<i4"), ("ol", "<i4"), ("w", "<f4"),
+                           ("ns", "<i4")])
+        align()
+        states = np.frombuffer(
+            f.read(state_dt.itemsize * num_states), state_dt)
+        align()
+        arcs = np.frombuffer(f.read(arc_dt.itemsize * num_arcs), arc_dt)
+        narcs = states["narcs"].astype(np.int64)
+        offsets = np.zeros(num_states + 1, np.int64)
+        np.cumsum(narcs, out=offsets[1:])
+        # ConstFst stores pos explicitly; our CSR assumes contiguity —
+        # true for anything fstconvert produces (arcs in state order)
+        if not np.array_equal(states["pos"].astype(np.int64),
+                              offsets[:-1]):
+            raise ValueError("ConstFst arcs not in state order")
+        fst = FST(
+            start=int(start),
+            final=states["final"].astype(np.float32),
             arc_offsets=offsets,
             ilabels=arcs["il"].astype(np.int32),
             olabels=arcs["ol"].astype(np.int32),

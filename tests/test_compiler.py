@@ -90,3 +90,46 @@ def test_leaky_probs_two_state_analytic():
     # flow: next=[1*0.5, 1*0.5] -> renorm [0.5, 0.5]
     # iter1: avg += [0.25, 0.25]
     np.testing.assert_allclose(lp, [0.75, 0.25], rtol=1e-6)
+
+
+def test_leaky_probs_three_state_analytic():
+    """3-state fixture, hand-computed (fstext.cc:120-171 semantics):
+    normalisers include arc AND final mass; occupancies renormalise
+    every iteration and average over iterations."""
+    import numpy as np
+    from pychain_tpu.graphs.fst import FST
+    from pychain_tpu.graphs.compiler import leaky_probs
+    # s0: 0->1 (w=0, p=1)                      tot=1,  nf=1
+    # s1: 1->1 (w=0), 1->2 (w=0)               tot=2,  nf=1/2
+    # s2: 2->0 (w=0), final (w=0, p=1)         tot=2,  nf=1/2
+    fst = FST.from_arcs(
+        3, 0,
+        [(0, 1, 1, 1, 0.0), (1, 1, 1, 1, 0.0), (1, 2, 2, 2, 0.0),
+         (2, 0, 3, 3, 0.0)],
+        {2: 0.0})
+    lp = leaky_probs(fst, num_iters=3)
+    # it0: cur=[1,0,0]      avg=[1/3,0,0]
+    #      flow 0->1 : 1    nxt=[0,1,0]        cur=[0,1,0]
+    # it1: avg=[1/3,1/3,0]
+    #      flow 1->{1,2}: .5/.5                cur=[0,.5,.5]
+    # it2: avg=[1/3,1/2,1/6]
+    np.testing.assert_allclose(lp, [1 / 3, 1 / 2, 1 / 6], rtol=1e-6)
+
+
+def test_leaky_probs_renormalisation_with_final_mass():
+    """Mass lost to a final state must be renormalised away each
+    iteration (nxt / nxt.sum(), fstext.cc:162-166)."""
+    import numpy as np
+    from pychain_tpu.graphs.fst import FST
+    from pychain_tpu.graphs.compiler import leaky_probs
+    # s1 splits its unit mass: 1/3 onward, 2/3 to final.
+    w_arc = float(np.log(3.0))       # p = 1/3
+    w_fin = float(np.log(1.5))       # p = 2/3
+    fst = FST.from_arcs(
+        3, 0,
+        [(0, 1, 1, 1, 0.0), (1, 2, 2, 2, w_arc), (2, 0, 3, 3, 0.0)],
+        {1: w_fin})
+    lp = leaky_probs(fst, num_iters=3)
+    # it0: cur=[1,0,0]; it1: cur=[0,1,0];
+    # it2: flow 1->2 = 1/3, renormalised to 1  -> cur=[0,0,1]
+    np.testing.assert_allclose(lp, [1 / 3, 1 / 3, 1 / 3], rtol=1e-6)

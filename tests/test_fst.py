@@ -77,3 +77,92 @@ def test_bad_magic_rejected(tmp_path):
         f.write(b"\x00" * 64)
     with pytest.raises(ValueError, match="magic"):
         FST.read(path)
+
+
+# ----------------------------------------------------------------------
+# ConstFst + embedded symbol tables (formats OpenFST reads transparently
+# for the reference; see graphs/fst.py:_read_const_body)
+# ----------------------------------------------------------------------
+
+def _write_symbol_table(f, symbols):
+    import struct
+    f.write(struct.pack("<i", 2125658996))
+    name = b"syms"
+    f.write(struct.pack("<i", len(name)) + name)
+    f.write(struct.pack("<q", len(symbols)))      # available_key
+    f.write(struct.pack("<q", len(symbols)))      # size
+    for i, s in enumerate(symbols):
+        b = s.encode()
+        f.write(struct.pack("<i", len(b)) + b + struct.pack("<q", i))
+
+
+def _write_const_fst(f, fst: FST, aligned: bool, symbols=False):
+    import struct
+    f.write(struct.pack("<i", 2125659606))
+    f.write(struct.pack("<i", 5) + b"const")
+    f.write(struct.pack("<i", 8) + b"standard")
+    f.write(struct.pack("<i", 1 if aligned else 2))   # version
+    flags = 0x3 if symbols else 0
+    f.write(struct.pack("<i", flags))
+    f.write(struct.pack("<Q", 0))                     # properties
+    f.write(struct.pack("<q", fst.start))
+    f.write(struct.pack("<q", fst.num_states))
+    f.write(struct.pack("<q", fst.num_arcs))
+    if symbols:
+        _write_symbol_table(f, ["<eps>", "a", "b"])
+        _write_symbol_table(f, ["<eps>", "x"])
+
+    def align():
+        if aligned:
+            pad = (-f.tell()) % 16
+            f.write(b"\0" * pad)
+
+    align()
+    for s in range(fst.num_states):
+        lo, hi = int(fst.arc_offsets[s]), int(fst.arc_offsets[s + 1])
+        f.write(struct.pack("<fIIII", float(fst.final[s]), lo, hi - lo,
+                            0, 0))
+    align()
+    for k in range(fst.num_arcs):
+        f.write(struct.pack("<iifi", int(fst.ilabels[k]),
+                            int(fst.olabels[k]), float(fst.weights[k]),
+                            int(fst.nextstates[k])))
+
+
+@pytest.mark.parametrize("aligned", [False, True])
+def test_const_fst_read(tmp_path, aligned):
+    ref = random_fst(num_states=9, num_pdfs=5, seed=3)
+    p = str(tmp_path / "c.fst")
+    with open(p, "wb") as f:
+        _write_const_fst(f, ref, aligned=aligned)
+    assert_fst_equal(FST.read(p), ref)
+
+
+def test_embedded_symbol_tables_skipped(tmp_path):
+    ref = random_fst(num_states=6, num_pdfs=4, seed=4)
+    p = str(tmp_path / "s.fst")
+    with open(p, "wb") as f:
+        _write_const_fst(f, ref, aligned=False, symbols=True)
+    assert_fst_equal(FST.read(p), ref)
+
+
+def test_vector_fst_with_symbol_tables(tmp_path):
+    """Symbol tables on a plain VectorFst file too."""
+    import io
+    import struct
+    ref = random_fst(num_states=5, num_pdfs=4, seed=5)
+    buf = io.BytesIO()
+    ref.write_stream(buf)
+    raw = bytearray(buf.getvalue())
+    # header layout: magic, len+type(6), len+arctype(8), version, flags
+    flags_off = 4 + 4 + 6 + 4 + 8 + 4
+    raw[flags_off:flags_off + 4] = struct.pack("<i", 0x3)
+    hdr_end = flags_off + 4 + 8 + 8 + 8 + 8
+    syms = io.BytesIO()
+    _write_symbol_table(syms, ["<eps>", "a"])
+    _write_symbol_table(syms, ["<eps>"])
+    patched = bytes(raw[:hdr_end]) + syms.getvalue() + bytes(raw[hdr_end:])
+    p = str(tmp_path / "v.fst")
+    with open(p, "wb") as f:
+        f.write(patched)
+    assert_fst_equal(FST.read(p), ref)

@@ -33,9 +33,38 @@ def test_scp_random_access(tmp_path):
         np.testing.assert_allclose(load_scp_entry(path, off), feats[key])
 
 
-def test_compressed_matrix_rejected(tmp_path):
+def test_compressed_matrix_roundtrip(tmp_path):
+    """CM (col-header uint8) / CM2 (uint16) / CM3 (uint8) payloads
+    decode within their quantisation budgets."""
+    import io
+    from pychain_tpu.data.kaldi_features import (read_matrix,
+                                                 write_compressed_matrix)
+    rng = np.random.RandomState(0)
+    mat = (rng.randn(50, 13) * 3.0 + 1.5).astype(np.float32)
+    rng_v = float(mat.max() - mat.min())
+    budgets = {1: rng_v / 40, 2: rng_v / 65000, 3: rng_v / 200}
+    for fmt, budget in budgets.items():
+        buf = io.BytesIO()
+        write_compressed_matrix(buf, mat, fmt=fmt)
+        buf.seek(0)
+        got = read_matrix(buf)
+        assert got.shape == mat.shape
+        err = np.abs(got - mat).max()
+        assert err <= budget, (fmt, err, budget)
+
+
+def test_compressed_matrix_in_ark(tmp_path):
+    """A compressed entry embedded in an ark reads through the normal
+    ark/scp path."""
+    from pychain_tpu.data.kaldi_features import write_compressed_matrix
+    rng = np.random.RandomState(1)
+    mat = rng.randn(12, 6).astype(np.float32)
     ark = str(tmp_path / "c.ark")
     with open(ark, "wb") as f:
-        f.write(b"utt \x00BCM garbage")
-    with pytest.raises(NotImplementedError, match="CompressedMatrix"):
-        dict(read_feats_ark(ark))
+        f.write(b"utt1 ")
+        off = f.tell()
+        f.write(b"\x00B")
+        write_compressed_matrix(f, mat, fmt=1)
+    got = dict(read_feats_ark(ark))
+    assert np.abs(got["utt1"] - mat).max() < 0.2
+    np.testing.assert_allclose(load_scp_entry(ark, off), got["utt1"])
