@@ -31,15 +31,21 @@ from pychain_tpu.loss import chain_function, dispatch_arrays  # noqa: E402
 from pychain_tpu.utils.testgraphs import denominator_fst  # noqa: E402
 
 QUICK = "--quick" in sys.argv
+S8K = "--s8k" in sys.argv  # S~8000 scalability entry (beyond VMEM
+                           # residency; exercises the XLA fallback)
 if "--gather" in sys.argv:
     IMPLS = ["gather"]
 elif "--f32" in sys.argv:
     IMPLS = ["factorized"]
+elif S8K:
+    IMPLS = ["pallas"]     # dispatch falls back to the XLA factorized
+                           # engine (fits_vmem) — the point of the entry
 else:
     IMPLS = ["factorized", "pallas"]  # parity engine + fast engine
-TILE_DTYPE = "bfloat16" if "--bf16" in sys.argv else None
-B, T = (16, 100) if QUICK else (128, 500)
-NUM_PHONES, FANOUT = (100, 10) if QUICK else (1500, 30)
+TILE_DTYPE = ("bfloat16" if ("--bf16" in sys.argv or S8K) else None)
+B, T = (16, 100) if QUICK else ((64, 300) if S8K else (128, 500))
+NUM_PHONES, FANOUT = ((100, 10) if QUICK
+                      else ((4000, 30) if S8K else (1500, 30)))
 
 
 def main():
@@ -106,6 +112,8 @@ def main():
     others = "; ".join(f"{k}={v:.0f}" for k, v in results.items()
                        if k != headline_impl)
     extra = f"; other engines: {others} utts/s" if others else ""
+    if S8K:
+        extra += "; beyond-VMEM graph, auto-fallback to XLA factorized"
     print(json.dumps({
         "metric": f"den-graph fwd-bwd utts/sec/chip "
                   f"(B={B},T={T},S={S},K={K},P={P}; "

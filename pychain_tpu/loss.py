@@ -104,10 +104,14 @@ def dispatch_arrays(graphs, impl: str = "auto"):
                          "batch within the one-hot size budget")
     fact = getattr(graphs, "_fact", None)
     if impl == "pallas":
-        from .ops.pallas_fact import supports
+        from .ops.pallas_fact import fits_vmem, supports
         if fact is None or not supports(fact):
             raise ValueError("pallas impl requires a fully factorized "
                              "shared prob-domain graph")
+        if not fits_vmem(fact):
+            # graph too large for VMEM-resident kernels: the XLA
+            # factorized engine (HBM-streamed weights) takes over
+            return fact
         return dataclasses.replace(fact, engine="pallas")
     if fact is not None and (impl == "factorized" or impl == "auto"):
         return fact

@@ -54,6 +54,29 @@ def supports(fa: FactorizedArrays) -> bool:
     return int(fa.res_src.shape[0]) == 0
 
 
+def fits_vmem(fa: FactorizedArrays, b_tile: int = 128) -> bool:
+    """Estimate whether the kernels' scoped VMEM fits on-chip.
+
+    The sweeps keep every stratified matrix resident (bf16) for all T
+    steps; Mosaic additionally charges ~1 f32 copy of each tile in
+    register-spill slots for the unrolled tile dots, plus ~24 live
+    (s_pad, b_tile) f32 values.  Measured: S_pad=3072 (196 tiles +
+    1664x1536 dense) fits with ~30 MB headroom; S_pad=8064 (1538
+    tiles) needs ~158 MB and cannot fit in the 128 MB VMEM.  Beyond
+    the budget, dispatch falls back to the XLA factorized engine,
+    which has no VMEM ceiling (weights re-stream from HBM per frame).
+    """
+    tiles = 0
+    dense = 0
+    for w in (fa.w1, fa.w2, fa.e_f, fa.e_g):
+        tiles += int(w.tiles.shape[0])
+        if w.dense is not None:
+            dense += int(w.dense.shape[0]) * int(w.dense.shape[1])
+    est = tiles * 128 * 128 * 6 + dense * 3 \
+        + 24 * fa.s_pad * b_tile * 4
+    return est <= 90 * 1024 * 1024
+
+
 class _WK:
     """Kernel-side view of one stratified matrix: canonical device
     arrays plus static tile coordinates (python ints -> the tile loop is

@@ -69,3 +69,24 @@ def test_pallas_rejects_residual_graphs():
     with pytest.raises(ValueError, match="fully factorized"):
         chain_function(jnp.zeros((2, 4, 6)), jnp.array([4, 4]), batch,
                        impl="pallas")
+
+
+def test_oversized_graph_falls_back_to_xla(monkeypatch):
+    """Graphs whose stratified form exceeds the VMEM residency budget
+    must dispatch to the XLA factorized engine instead of failing to
+    compile (S~8k graphs need ~158 MB scoped VMEM on a 128 MB chip)."""
+    import pychain_tpu.ops.pallas_fact as pf
+    from pychain_tpu.loss import dispatch_arrays
+    from pychain_tpu.ops.factorized import FactorizedArrays
+
+    den_fst, P = denominator_fst(num_phones=8, states_per_phone=2, seed=0)
+    den = ChainGraph(den_fst, log_domain=False)
+    batch = ChainGraphBatch(den, 2, tile_dtype="bfloat16")
+
+    g = dispatch_arrays(batch, impl="pallas")
+    assert g.engine == "pallas"          # small graph: kernels
+    assert pf.fits_vmem(batch._fact)     # real estimator: small fits
+
+    monkeypatch.setattr(pf, "fits_vmem", lambda fa, b_tile=128: False)
+    g2 = dispatch_arrays(batch, impl="pallas")
+    assert isinstance(g2, FactorizedArrays) and g2.engine == "xla"
