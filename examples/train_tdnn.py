@@ -124,9 +124,12 @@ def main():
         opt_state = jax.device_put(opt_state, rep)
 
     step = step0
+    epoch = 0
     t_start = time.time()
     while step < args.steps:
-        for idx in bucketer.batches(lengths_all, args.batch_size):
+        epoch += 1
+        for idx in bucketer.batches(lengths_all, args.batch_size,
+                                    epoch=epoch):
             if step >= args.steps:
                 break
             if len(idx) < args.batch_size:

@@ -90,11 +90,13 @@ class _WK:
         self.rows = tuple(w.rows)
         self.cols = tuple(w.cols)
         self.mm = jnp.dtype(mm_dtype)
-        # f32 parity mode must not let the MXU round operands to bf16
-        # (HIGH = bf16_3x, f32-grade; see factorized._mxu_precision);
-        # bf16 fast mode keeps the native single-pass rate.
+        # f32 parity mode must not let the MXU round operands to bf16;
+        # Mosaic's dot lowering supports DEFAULT and HIGHEST only (HIGH
+        # raises NotImplementedError on real TPU), so the kernels pay
+        # full 6-pass f32 in parity mode.  bf16 fast mode keeps the
+        # native single-pass rate.
         self.prec = (jax.lax.Precision.DEFAULT if self.mm == jnp.bfloat16
-                     else jax.lax.Precision.HIGH)
+                     else jax.lax.Precision.HIGHEST)
         self.arrays = []
         if self.has_diag:
             self.arrays.append(jnp.asarray(w.diag, jnp.float32)[:, None])

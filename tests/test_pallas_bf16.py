@@ -108,6 +108,13 @@ np.testing.assert_allclose(np.asarray(got.objf), np.asarray(ref.objf),
 np.testing.assert_allclose(np.asarray(got.gamma), np.asarray(ref.gamma),
                            rtol=3e-2, atol=5e-3)
 assert np.all(np.asarray(got.ok))
+
+# f32-tile parity mode must also lower through Mosaic (regression:
+# Precision.HIGH is not implemented in the Mosaic dot lowering)
+_, g32 = chain_function_with_aux(x, lengths, ChainGraphBatch(den, B),
+                                 impl="pallas")
+np.testing.assert_allclose(np.asarray(g32.objf), np.asarray(ref.objf),
+                           rtol=1e-5, atol=1e-5)
 print("TPU-BF16-PARITY-OK S=%d" % den.num_states)
 """
 
