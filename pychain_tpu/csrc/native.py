@@ -36,6 +36,17 @@ def _load():
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int
             fn.argtypes = [ctypes.c_void_p]
+        lib.pc_feats_probe.restype = ctypes.c_int
+        lib.pc_feats_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.pc_feats_read.restype = ctypes.c_int
+        lib.pc_feats_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_float)]
+        lib.pc_feats_scan.restype = ctypes.c_long
+        lib.pc_feats_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_long]
         _lib = lib
     return _lib
 
@@ -194,6 +205,50 @@ def fwdbwd_prob(px, lengths, fwd_trans, fwd_probs, bwd_trans, bwd_probs,
         _ptr(c(lengths.astype(np.int32)), ctypes.c_int32),
         _ptr(objf, ctypes.c_float), _ptr(gamma, ctypes.c_float))
     return objf, gamma, rc == 0
+
+
+def read_feats(path: str, offset: int) -> np.ndarray:
+    """Decode one Kaldi feature matrix (FM/DM/CM/CM2/CM3) at an scp
+    offset (pointing at the \\0B marker).  Native fast path of
+    ``data.kaldi_features.load_scp_entry``."""
+    lib = _load()
+    rows = ctypes.c_int32()
+    cols = ctypes.c_int32()
+    if lib.pc_feats_probe(path.encode(), ctypes.c_long(offset),
+                          ctypes.byref(rows), ctypes.byref(cols)) != 0:
+        raise ValueError(f"bad feature matrix at {path!r}:{offset}")
+    out = np.empty((rows.value, cols.value), np.float32)
+    if lib.pc_feats_read(path.encode(), ctypes.c_long(offset),
+                         _ptr(out, ctypes.c_float)) != 0:
+        raise ValueError(f"failed to decode matrix at {path!r}:{offset}")
+    return out
+
+
+def scan_feats_ark(path: str):
+    """List (key, offset) pairs of a feature ark without decoding the
+    payloads (native fast path for scp construction)."""
+    lib = _load()
+    n = lib.pc_feats_scan(path.encode(), ctypes.c_long(0), None, None,
+                          ctypes.c_long(0))
+    if n < 0:
+        raise ValueError(f"malformed feature ark {path!r}")
+    if n == 0:
+        return []
+    offsets = np.empty(n, np.int64)
+    keys_cap = 1 << 22
+    keys = ctypes.create_string_buffer(keys_cap)
+    n2 = lib.pc_feats_scan(path.encode(), ctypes.c_long(n),
+                           _ptr(offsets, ctypes.c_int64), keys,
+                           ctypes.c_long(keys_cap))
+    if n2 != n:
+        raise ValueError(f"feature ark changed while scanning {path!r}")
+    out = []
+    pos = 0
+    for i in range(n):
+        end = keys.raw.index(b"\x00", pos)
+        out.append((keys.raw[pos:end].decode(), int(offsets[i])))
+        pos = end + 1
+    return out
 
 
 def fwdbwd_log(x, lengths, fwd_trans, fwd_probs, bwd_trans, bwd_probs,

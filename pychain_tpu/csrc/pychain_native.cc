@@ -49,6 +49,19 @@ bool read_string(FILE* f, std::string* out) {
   return n == 0 || fread(&(*out)[0], 1, n, f) == (size_t)n;
 }
 
+// Skip one serialized OpenFST SymbolTable (symbol-table.cc).
+bool skip_symbol_table(FILE* f) {
+  int32_t magic;
+  std::string s;
+  int64_t avail, size, key;
+  if (!read_pod(f, &magic) || magic != 2125658996) return false;
+  if (!read_string(f, &s) || !read_pod(f, &avail) || !read_pod(f, &size))
+    return false;
+  for (int64_t i = 0; i < size; i++)
+    if (!read_string(f, &s) || !read_pod(f, &key)) return false;
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -70,16 +83,60 @@ void* pc_fst_read(const char* path, long offset) {
   uint64_t properties;
   int64_t start, num_states, num_arcs;
   if (!read_pod(f, &magic) || magic != kFstMagic) return fail();
-  if (!read_string(f, &fsttype) || fsttype != "vector") return fail();
+  if (!read_string(f, &fsttype) ||
+      (fsttype != "vector" && fsttype != "const")) return fail();
   if (!read_string(f, &arctype) || arctype != "standard") return fail();
-  if (!read_pod(f, &version) || version < 2) return fail();
-  if (!read_pod(f, &flags) || (flags & 0x3)) return fail();  // no symtabs
+  if (!read_pod(f, &version)) return fail();
+  if (!read_pod(f, &flags)) return fail();
   if (!read_pod(f, &properties)) return fail();
   if (!read_pod(f, &start) || !read_pod(f, &num_states) ||
       !read_pod(f, &num_arcs)) return fail();
+  // embedded symbol tables sit between header and states; skip them
+  if ((flags & 0x1) && !skip_symbol_table(f)) return fail();
+  if ((flags & 0x2) && !skip_symbol_table(f)) return fail();
 
   auto* fst = new Fst();
   fst->start = (int32_t)start;
+  struct ArcRec { int32_t il, ol; float w; int32_t ns; };
+  if (fsttype == "const") {
+    // ConstFst<StdArc, uint32>: flat state records then flat arcs;
+    // version 1 = 16-byte aligned arrays, 2 = unaligned.
+    if (version != 1 && version != 2) { delete fst; return fail(); }
+    auto align16 = [&]() {
+      if (version == 1) {
+        long pos = ftell(f);
+        long pad = (16 - pos % 16) % 16;
+        if (pad) fseek(f, pad, SEEK_CUR);
+      }
+    };
+    struct ConstState { float fw; uint32_t pos, narcs, nieps, noeps; };
+    if (num_states > 0) {
+      fst->final_w.resize(num_states);
+      fst->offsets.resize(num_states + 1, 0);
+      std::vector<ConstState> states(num_states);
+      align16();
+      if (fread(states.data(), sizeof(ConstState), num_states, f) !=
+          (size_t)num_states) { delete fst; return fail(); }
+      for (int64_t s = 0; s < num_states; s++) {
+        if ((int64_t)states[s].pos != fst->offsets[s]) {  // must be CSR
+          delete fst; return fail();
+        }
+        fst->final_w[s] = states[s].fw;
+        fst->offsets[s + 1] = fst->offsets[s] + states[s].narcs;
+      }
+      std::vector<ArcRec> arcs(num_arcs);
+      align16();
+      if (num_arcs && fread(arcs.data(), sizeof(ArcRec), num_arcs, f) !=
+          (size_t)num_arcs) { delete fst; return fail(); }
+      for (auto& a : arcs) {
+        fst->ilabels.push_back(a.il); fst->olabels.push_back(a.ol);
+        fst->weights.push_back(a.w); fst->nextstates.push_back(a.ns);
+      }
+    }
+    fclose(f);
+    return fst;
+  }
+  if (version < 2) { delete fst; return fail(); }
   if (num_states > 0) {
     fst->final_w.resize(num_states);
     fst->offsets.resize(num_states + 1, 0);
@@ -87,7 +144,6 @@ void* pc_fst_read(const char* path, long offset) {
       fst->ilabels.reserve(num_arcs); fst->olabels.reserve(num_arcs);
       fst->weights.reserve(num_arcs); fst->nextstates.reserve(num_arcs);
     }
-    struct ArcRec { int32_t il, ol; float w; int32_t ns; };
     std::vector<ArcRec> buf;
     for (int64_t s = 0; s < num_states; s++) {
       float fw; int64_t narcs;
@@ -407,6 +463,164 @@ int pc_fwdbwd_log(int B, int T, int P, int S, int64_t K,
     }
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------
+// Kaldi feature matrices (data-loader fast path; kaldi_features.py is
+// the behavioural spec).  Formats: FM (f32), DM (f64), CM/CM2/CM3
+// (CompressedMatrix; see src/matrix/compressed-matrix.h).
+// ---------------------------------------------------------------------
+
+static int read_feat_header(FILE* f, char tok[4], int32_t* rows,
+                            int32_t* cols, float* minv, float* rng) {
+  // token is space-terminated
+  int n = 0;
+  for (;;) {
+    int c = fgetc(f);
+    if (c == EOF) return -1;
+    if (c == ' ') break;
+    if (n >= 3) return -1;
+    tok[n++] = (char)c;
+  }
+  tok[n] = 0;
+  if (!strcmp(tok, "FM") || !strcmp(tok, "DM")) {
+    unsigned char sz;
+    if (fread(&sz, 1, 1, f) != 1 || sz != 4) return -1;
+    if (!read_pod(f, rows)) return -1;
+    if (fread(&sz, 1, 1, f) != 1 || sz != 4) return -1;
+    if (!read_pod(f, cols)) return -1;
+    return 0;
+  }
+  if (!strcmp(tok, "CM") || !strcmp(tok, "CM2") || !strcmp(tok, "CM3")) {
+    if (!read_pod(f, minv) || !read_pod(f, rng) || !read_pod(f, rows) ||
+        !read_pod(f, cols)) return -1;
+    return 0;
+  }
+  return -1;
+}
+
+// Probe a matrix at `offset` (pointing at the \0B marker): fills
+// rows/cols.  Returns 0 ok, -1 on format error.
+int pc_feats_probe(const char* path, long offset, int32_t* rows,
+                   int32_t* cols) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  if (fseek(f, offset, SEEK_SET) != 0) { fclose(f); return -1; }
+  unsigned char mk[2];
+  if (fread(mk, 1, 2, f) != 2 || mk[0] != 0 || mk[1] != 'B') {
+    fclose(f); return -1;
+  }
+  char tok[4];
+  float minv, rng;
+  int rc = read_feat_header(f, tok, rows, cols, &minv, &rng);
+  fclose(f);
+  return rc;
+}
+
+// Read + decode one matrix at `offset` into out (rows*cols f32,
+// row-major; caller sized it via pc_feats_probe).  Returns 0 ok.
+int pc_feats_read(const char* path, long offset, float* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  if (fseek(f, offset, SEEK_SET) != 0) { fclose(f); return -1; }
+  unsigned char mk[2];
+  if (fread(mk, 1, 2, f) != 2 || mk[0] != 0 || mk[1] != 'B') {
+    fclose(f); return -1;
+  }
+  char tok[4];
+  int32_t rows = 0, cols = 0;
+  float minv = 0, rng = 1;
+  if (read_feat_header(f, tok, &rows, &cols, &minv, &rng) != 0) {
+    fclose(f); return -1;
+  }
+  const int64_t n = (int64_t)rows * cols;
+  auto fail = [&]() { fclose(f); return -1; };
+  if (!strcmp(tok, "FM")) {
+    if (fread(out, 4, n, f) != (size_t)n) return fail();
+  } else if (!strcmp(tok, "DM")) {
+    std::vector<double> d(n);
+    if (fread(d.data(), 8, n, f) != (size_t)n) return fail();
+    for (int64_t i = 0; i < n; i++) out[i] = (float)d[i];
+  } else if (!strcmp(tok, "CM2")) {
+    std::vector<uint16_t> u(n);
+    if (fread(u.data(), 2, n, f) != (size_t)n) return fail();
+    for (int64_t i = 0; i < n; i++)
+      out[i] = minv + rng * u[i] / 65535.0f;
+  } else if (!strcmp(tok, "CM3")) {
+    std::vector<uint8_t> u(n);
+    if (fread(u.data(), 1, n, f) != (size_t)n) return fail();
+    for (int64_t i = 0; i < n; i++)
+      out[i] = minv + rng * u[i] / 255.0f;
+  } else {  // CM: per-column percentile headers + uint8 codes
+    std::vector<uint8_t> col((size_t)8 + rows);
+    for (int32_t c = 0; c < cols; c++) {
+      if (fread(col.data(), 1, col.size(), f) != col.size())
+        return fail();
+      const uint16_t* pu = (const uint16_t*)col.data();
+      float p[4];
+      for (int i = 0; i < 4; i++)
+        p[i] = minv + rng * pu[i] / 65535.0f;
+      const uint8_t* code = col.data() + 8;
+      for (int32_t r = 0; r < rows; r++) {
+        float v, x = (float)code[r];
+        if (x <= 64.0f)
+          v = p[0] + (p[1] - p[0]) * (x / 64.0f);
+        else if (x <= 192.0f)
+          v = p[1] + (p[2] - p[1]) * ((x - 64.0f) / 128.0f);
+        else
+          v = p[2] + (p[3] - p[2]) * ((x - 192.0f) / 63.0f);
+        out[(int64_t)r * cols + c] = v;
+      }
+    }
+  }
+  fclose(f);
+  return 0;
+}
+
+// Scan a feature ark sequentially: write up to `cap` (offset, key)
+// entries; keys are written NUL-terminated back to back into `keys`
+// (capacity keys_cap).  Returns the number of entries found (even if
+// > cap — call again with bigger buffers), or -1 on a malformed entry.
+long pc_feats_scan(const char* path, long cap, int64_t* offsets,
+                   char* keys, long keys_cap) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  long count = 0, kpos = 0;
+  for (;;) {
+    std::string key;
+    int c = fgetc(f);
+    if (c == EOF) break;
+    while (c != ' ' && c != EOF) { key.push_back((char)c); c = fgetc(f); }
+    if (c == EOF) { fclose(f); return -1; }
+    long off = ftell(f);
+    unsigned char mk[2];
+    if (fread(mk, 1, 2, f) != 2 || mk[0] != 0 || mk[1] != 'B') {
+      fclose(f); return -1;
+    }
+    char tok[4];
+    int32_t rows = 0, cols = 0;
+    float minv, rng;
+    if (read_feat_header(f, tok, &rows, &cols, &minv, &rng) != 0) {
+      fclose(f); return -1;
+    }
+    int64_t payload;
+    if (!strcmp(tok, "FM")) payload = (int64_t)rows * cols * 4;
+    else if (!strcmp(tok, "DM")) payload = (int64_t)rows * cols * 8;
+    else if (!strcmp(tok, "CM2")) payload = (int64_t)rows * cols * 2;
+    else if (!strcmp(tok, "CM3")) payload = (int64_t)rows * cols;
+    else payload = (int64_t)cols * (8 + rows);
+    if (fseek(f, payload, SEEK_CUR) != 0) { fclose(f); return -1; }
+    if (count < cap && offsets) {
+      offsets[count] = off;
+      if (keys && kpos + (long)key.size() + 1 <= keys_cap) {
+        memcpy(keys + kpos, key.c_str(), key.size() + 1);
+        kpos += key.size() + 1;
+      }
+    }
+    count++;
+  }
+  fclose(f);
+  return count;
 }
 
 }  // extern "C"

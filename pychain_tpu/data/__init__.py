@@ -1,6 +1,7 @@
 from .bucketing import BucketSpec, LengthBucketer, pad_to_bucket
 from .kaldi_features import (
     load_scp_entry,
+    scan_feats_ark,
     read_feats_ark,
     read_scp,
     write_feats_ark,
@@ -16,4 +17,5 @@ __all__ = [
     "read_scp",
     "write_scp",
     "load_scp_entry",
+    "scan_feats_ark",
 ]

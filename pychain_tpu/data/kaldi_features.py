@@ -216,11 +216,46 @@ def read_scp(filename: str):
     return out
 
 
-def load_scp_entry(path: str, offset: int) -> np.ndarray:
-    """Random-access one feature matrix via its scp offset."""
+def load_scp_entry(path: str, offset: int,
+                   use_native: bool = True) -> np.ndarray:
+    """Random-access one feature matrix via its scp offset.
+
+    Uses the C++ decoder (csrc/pychain_native.cc pc_feats_read) when
+    the native library is built; this Python path is the spec and the
+    always-available fallback."""
+    if use_native:
+        from ..csrc import native
+        if native.available():
+            return native.read_feats(path, offset)
     with open(path, "rb") as f:
         f.seek(offset)
         marker = f.read(2)
         if marker != b"\x00B":
             raise ValueError("scp offset does not point at a binary marker")
         return read_matrix(f)
+
+
+def scan_feats_ark(path: str):
+    """List (key, offset) pairs of a feature ark without decoding (for
+    scp construction); native-accelerated when built."""
+    from ..csrc import native
+    if native.available():
+        return native.scan_feats_ark(path)
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            key = bytearray()
+            while True:
+                c = f.read(1)
+                if not c:
+                    return out
+                if c == b" ":
+                    break
+                key += c
+            off = f.tell()
+            marker = f.read(2)
+            if marker != b"\x00B":
+                raise ValueError("only binary-mode feature arks supported")
+            read_matrix(f)
+            out.append((key.decode(), off))
+    return out

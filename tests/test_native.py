@@ -115,3 +115,38 @@ def test_native_fwdbwd_log_vs_oracle():
     assert ok
     np.testing.assert_allclose(objf, ref_objf, rtol=2e-4)
     np.testing.assert_allclose(gamma, ref_gamma, rtol=2e-3, atol=2e-6)
+
+
+def test_native_feature_decode_parity(tmp_path):
+    """C++ feature decoder (pc_feats_read) matches the Python spec on
+    every wire format, and the native ark scanner finds all entries."""
+    import io
+    from pychain_tpu.csrc import native
+    from pychain_tpu.data.kaldi_features import (
+        load_scp_entry, scan_feats_ark, write_compressed_matrix,
+        write_matrix)
+    if not native.available() and not native.build():
+        pytest.skip("native library not built")
+
+    rng = np.random.RandomState(0)
+    mats = {f"u{i}": (rng.randn(7 + 3 * i, 5) * 2).astype(np.float32)
+            for i in range(4)}
+    ark = str(tmp_path / "mixed.ark")
+    offsets = {}
+    with open(ark, "wb") as f:
+        for i, (k, m) in enumerate(mats.items()):
+            f.write(k.encode() + b" ")
+            offsets[k] = f.tell()
+            f.write(b"\x00B")
+            if i == 0:
+                write_matrix(f, m)
+            else:
+                write_compressed_matrix(f, m, fmt=i)  # CM, CM2, CM3
+
+    for k, off in offsets.items():
+        nat = native.read_feats(ark, off)
+        ref = load_scp_entry(ark, off, use_native=False)
+        np.testing.assert_allclose(nat, ref, rtol=0, atol=0)
+
+    scanned = scan_feats_ark(ark)
+    assert scanned == [(k, off) for k, off in offsets.items()]
