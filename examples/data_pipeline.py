@@ -42,10 +42,16 @@ def main():
         fsts[key] = FST.linear(rng.randint(0, P, size=t_len))
     feats_ark = os.path.join(work, "feats.ark")
     feats_scp = os.path.join(work, "feats.scp")
-    offsets = write_feats_ark(feats_ark, utts)
+    # compressed payloads, as real corpora ship (copy-feats --compress)
+    offsets = write_feats_ark(feats_ark, utts, compress=True)
     write_scp(feats_scp, feats_ark, offsets)
     fst_offsets = write_ark(os.path.join(work, "num.ark"), fsts)
-    print(f"wrote {len(utts)} utterances under {work}")
+    print(f"wrote {len(utts)} compressed utterances under {work}")
+
+    # scp-free discovery path: scan the ark for (key, offset) pairs
+    # (native-accelerated when csrc is built)
+    from pychain_tpu.data import scan_feats_ark
+    assert dict(scan_feats_ark(feats_ark)) == offsets
 
     # 2. load back through scp random access + FST ark offsets
     entries = read_scp(feats_scp)

@@ -175,16 +175,25 @@ def read_feats_ark(filename: str):
             yield key.decode(), read_matrix(f)
 
 
-def write_feats_ark(filename: str, items) -> dict:
+def write_feats_ark(filename: str, items, compress: bool = False,
+                    compression_format: int = 1) -> dict:
     """Write ``{key: (T, D) array}`` to a binary ark; returns
-    ``{key: offset}`` (offset at the binary marker, scp convention)."""
+    ``{key: offset}`` (offset at the binary marker, scp convention).
+
+    ``compress=True`` stores CompressedMatrix payloads (the equivalent
+    of Kaldi's ``copy-feats --compress=true``; ~4x smaller at <1%
+    feature distortion in the default per-column-header format)."""
     offsets = {}
     with open(filename, "wb") as f:
         for key, mat in items.items() if isinstance(items, dict) else items:
             f.write(key.encode() + b" ")
             offsets[key] = f.tell()
             f.write(b"\x00B")
-            write_matrix(f, np.asarray(mat))
+            if compress:
+                write_compressed_matrix(f, np.asarray(mat),
+                                        fmt=compression_format)
+            else:
+                write_matrix(f, np.asarray(mat))
     return offsets
 
 
