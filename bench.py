@@ -80,7 +80,10 @@ def main():
               f"objf={float(objf):.4f}", file=sys.stderr)
 
         # Amortised timing: enqueue N batches asynchronously, sync once
-        # (per-call sync costs ~35 ms on the tunneled backend).
+        # (per-call sync costs ~35 ms on the tunneled backend, and the
+        # first few dispatches after a sync stall while the tunnel
+        # pipeline refills — so N must be large enough to amortise it;
+        # measured: 10 iters over-reports ~40%, 30 is stable).
         def timed(iters):
             t0 = time.time()
             for _ in range(iters):
@@ -88,7 +91,7 @@ def main():
             _ = float(o) + float(gr[0, 0, 0])
             return (time.time() - t0) / iters
 
-        iters = 3 if QUICK else 10
+        iters = 3 if QUICK else 30
         timed(2)  # warm the dispatch path
         best = min(timed(iters) for _ in range(2))
         print(f"# [{impl}] amortized s/batch over {iters}: {best:.4f} "

@@ -92,6 +92,15 @@ class FactorizedGraph:
     res_dst: np.ndarray
     res_pdf: np.ndarray
     res_prob: np.ndarray
+    # How a kernel can obtain x_src from the x_dst stream without a
+    # second emission gather (see ops/pallas_fact.py):
+    #   "identity": g == f on W2's support, so x_src = x_dst,
+    #   "matrix":   x_src = E_h @ x_dst for the one-hot state->state
+    #               map h with f(h(s)) = g(s) (``e_h`` below),
+    #   "stream":   some g pdf is unreachable through f; x_src must be
+    #               gathered/streamed separately.
+    xsrc_mode: str = "stream"
+    e_h: WParts | None = None
 
     @property
     def num_tiles(self) -> int:
@@ -132,7 +141,7 @@ def _classify_arcs(src, dst, pdf):
         if g[s] == -1 or g[s] == n:
             g[s] = n
             cls[a] = 2
-    return cls, np.maximum(f, 0), np.maximum(g, 0)
+    return cls, f, g  # -1 where undefined
 
 
 def _role_order(src, dst, pdf, S, final_mask):
@@ -224,7 +233,9 @@ def factorize(graph: CompiledGraph) -> FactorizedGraph:
     pdf = trans[:, 2].astype(np.int64)
     probs = graph.forward_transition_probs.astype(np.float32)
 
-    cls, f, g = _classify_arcs(src, dst, pdf)
+    cls, f_raw, g_raw = _classify_arcs(src, dst, pdf)
+    f = np.maximum(f_raw, 0)
+    g = np.maximum(g_raw, 0)
     final_mask = graph.final_probs > 0
     perm = _role_order(src, dst, pdf, S, final_mask)   # old id per new slot
     inv = np.empty(S, np.int64)
@@ -237,6 +248,32 @@ def factorize(graph: CompiledGraph) -> FactorizedGraph:
     g_new = np.zeros(s_pad, np.int64)
     f_new[:S] = f[perm]
     g_new[:S] = g[perm]
+
+    # x_src-from-x_dst map: a (new-numbered) state h(s) with
+    # f(h(s)) == g(s), for every state s where g is defined.  When it
+    # exists the kernels never need a second emission stream.
+    xsrc_mode = "stream"
+    e_h = None
+    g_def = np.nonzero(g_raw[perm] >= 0)[0]            # new ids, < S
+    if len(g_def) == 0:
+        xsrc_mode = "identity"
+    else:
+        finv = {}
+        for s_new in range(S):
+            if f_raw[perm[s_new]] >= 0:
+                finv.setdefault(int(f_new[s_new]), s_new)
+        f_def_new = f_raw[perm] >= 0
+        h = np.array([s if (f_def_new[s] and f_new[s] == g_new[s])
+                      else finv.get(int(g_new[s]), -1) for s in g_def],
+                     np.int64)
+        if np.all(h >= 0):
+            if np.all(h == g_def):
+                xsrc_mode = "identity"
+            else:
+                xsrc_mode = "matrix"
+                e_h = _build_wparts(g_def.copy(), h,
+                                    np.ones(len(g_def), np.float32),
+                                    s_pad)
 
     m1 = cls == 1
     m2 = cls == 2
@@ -270,6 +307,8 @@ def factorize(graph: CompiledGraph) -> FactorizedGraph:
         res_dst=ndst[m0].astype(np.int32),
         res_pdf=pdf[m0].astype(np.int32),
         res_prob=probs[m0],
+        xsrc_mode=xsrc_mode,
+        e_h=e_h,
     )
 
 

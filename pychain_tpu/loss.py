@@ -164,14 +164,34 @@ def _chain_objf(x, lengths, g: GraphArrays, leaky_coefficient):
     return res.objf.sum()
 
 
+def _input_grad(res: FwdBwdResult, ct, x_dtype):
+    """gamma * ct from the cheapest stored form.  With a compact
+    (T, P, B) residual the transpose + widen + scale fuse into one
+    pass here instead of materialising float32 gamma in the primal."""
+    if res.gamma_tm is not None:
+        return jnp.transpose(res.gamma_tm, (2, 0, 1)).astype(x_dtype) * ct
+    return res.gamma * ct
+
+
+def _residual(res: FwdBwdResult):
+    """The posterior tensor the VJP keeps: compact when available."""
+    if res.gamma_tm is not None:
+        return res._replace(gamma=None, ok=None, alpha_beta=None,
+                            gamma_sum=None, objf=None)
+    return res._replace(ok=None, alpha_beta=None, gamma_sum=None,
+                        objf=None)
+
+
 def _chain_objf_fwd(x, lengths, g, leaky_coefficient):
     res = _run(x, lengths, g, leaky_coefficient)
-    return res.objf.sum(), (res.gamma, lengths, g, leaky_coefficient)
+    x_proto = jnp.zeros((0,), x.dtype)  # carries the input dtype only
+    return res.objf.sum(), (_residual(res), x_proto, lengths, g,
+                            leaky_coefficient)
 
 
 def _chain_objf_bwd(saved, ct):
-    gamma, lengths, g, leaky_coefficient = saved
-    return (gamma * ct,
+    res, x_proto, lengths, g, leaky_coefficient = saved
+    return (_input_grad(res, ct, x_proto.dtype),
             _zero_ct(lengths),
             jax.tree.map(_zero_ct, g),
             _zero_ct(leaky_coefficient))
@@ -194,14 +214,15 @@ def _chain_objf_and_aux(x, lengths, g, leaky_coefficient):
 
 def _chain_objf_and_aux_fwd(x, lengths, g, leaky_coefficient):
     res = _run(x, lengths, g, leaky_coefficient)
+    x_proto = jnp.zeros((0,), x.dtype)
     return ((res.objf.sum(), res),
-            (res.gamma, lengths, g, leaky_coefficient))
+            (_residual(res), x_proto, lengths, g, leaky_coefficient))
 
 
 def _chain_objf_and_aux_bwd(saved, cts):
     ct_objf, _ = cts
-    gamma, lengths, g, leaky_coefficient = saved
-    return (gamma * ct_objf,
+    res, x_proto, lengths, g, leaky_coefficient = saved
+    return (_input_grad(res, ct_objf, x_proto.dtype),
             _zero_ct(lengths),
             jax.tree.map(_zero_ct, g),
             _zero_ct(leaky_coefficient))

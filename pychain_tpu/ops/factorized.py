@@ -72,6 +72,12 @@ class FactorizedArrays:
     # "pallas" (fused VMEM-resident kernels, bf16 fast mode)
     engine: str = dataclasses.field(default="xla",
                                     metadata=dict(static=True))
+    # how the Pallas kernels obtain x_src from the x_dst stream:
+    # "identity" (x_src = x_dst), "matrix" (x_src = E_h @ x_dst), or
+    # "stream" (separate gathered stream)
+    xsrc_mode: str = dataclasses.field(default="stream",
+                                       metadata=dict(static=True))
+    e_h: Optional[WArrays] = None
 
     @property
     def s_pad(self) -> int:
@@ -135,6 +141,8 @@ def from_factorized_graph(fg, initial, final, leaky,
         leaky=jnp.asarray(permute_state_vector(fg, leaky)),
         res_src=jnp.asarray(fg.res_src), res_dst=jnp.asarray(fg.res_dst),
         res_pdf=jnp.asarray(fg.res_pdf), res_prob=jnp.asarray(fg.res_prob),
+        xsrc_mode=fg.xsrc_mode,
+        e_h=None if fg.e_h is None else _w_arrays(fg.e_h, one, fg.s_pad),
     )
 
 
@@ -315,10 +323,12 @@ def forward_backward_prob_fact(px, lengths, fa: FactorizedArrays,
     gamma_tm, alpha_beta, gamma_sum = backward_prob_fact(
         px_tm, lengths, fa, leaky_coefficient, alpha_dash, alpha_sums,
         tot_prob, P)
-    gamma = jnp.transpose(gamma_tm, (2, 0, 1))              # (B, T, p_pad)
-    if gamma.shape[2] < P:
-        gamma = jnp.pad(gamma, ((0, 0), (0, 0), (0, P - gamma.shape[2])))
-    elif gamma.shape[2] > P:
-        gamma = gamma[:, :, :P]
+    if gamma_tm.shape[1] < P:
+        gamma_tm = jnp.pad(gamma_tm,
+                           ((0, 0), (0, P - gamma_tm.shape[1]), (0, 0)))
+    elif gamma_tm.shape[1] > P:
+        gamma_tm = gamma_tm[:, :P, :]
+    gamma = jnp.transpose(gamma_tm, (2, 0, 1))              # (B, T, P)
     ok = _ok_flags(objf, alpha_beta, gamma_sum)
-    return FwdBwdResult(objf, gamma, ok, alpha_beta, gamma_sum)
+    return FwdBwdResult(objf, gamma, ok, alpha_beta, gamma_sum,
+                        gamma_tm=gamma_tm)

@@ -75,6 +75,14 @@ class FwdBwdResult(NamedTuple):
     ok: jax.Array          # (B,) bool, alpha*beta invariant within 5% at t=0
     alpha_beta: jax.Array  # (B, T) per-frame sum_i alpha'(t,i) beta^(t,i)
     gamma_sum: jax.Array   # (B, T) per-frame sum_n gamma(t,n)
+    # Optional compact posterior in the engine's native (T, P, B)
+    # layout/dtype.  When set, the custom_vjp saves THIS as the
+    # residual and fuses the transpose/widen/cotangent-scale into the
+    # backward pass, so the primal never materialises the (B, T, P)
+    # float32 gamma (1.5 GB at the headline config) that XLA would
+    # otherwise write and re-read.  gamma (above) is still derived for
+    # aux/diagnostic consumers; it DCEs away when unused.
+    gamma_tm: jax.Array | None = None
 
 
 def _gather(values, idx, shared: bool):

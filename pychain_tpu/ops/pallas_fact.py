@@ -19,14 +19,22 @@ arcs) — see ``supports``.
 
 Work split per sweep:
 
-* fwd kernel: emissions (E_f/E_g @ x), alpha recurrence; emits
-  alpha-dash rows, alpha-sums, and the ``W1 @ alpha'`` product (reused
-  by the backward pass),
-* bwd kernel: emissions again (cheaper than streaming them), beta
-  recurrence, and the posteriors ``gamma = E_f^T c1 + E_g^T c2``
-  emitted directly, plus the alpha*beta / sum-gamma invariant traces,
-* outside (XLA): the objf reduction over alpha-sums — a handful of
-  whole-batch elementwise ops.
+* outside (XLA): the emission lookups ``x_dst[s] = px[f(s)]`` /
+  ``x_src[s] = px[g(s)]`` are shared-index row gathers fused into the
+  batch prep transpose — NOT in-kernel one-hot matmuls.  The E_f/E_g
+  one-hot contractions used to be ~160 small 128x128 MXU dots per scan
+  step (45% of the forward kernel's FLOPs and most of its serial
+  dependency chain); as XLA gathers they cost two memory passes per
+  batch.  Also outside: the objf reduction over alpha-sums.
+* fwd kernel: alpha recurrence over the streamed x_dst slices (x_src
+  is x_dst, E_h @ x_dst, or its own stream — ``FactorizedGraph.
+  xsrc_mode``); emits alpha-dash rows and alpha-sums,
+* bwd kernel: beta recurrence and the posteriors
+  ``gamma = E_f^T c1 + E_g^T c2`` emitted directly (the transposed
+  one-hot SCATTER stays on the MXU — it has no gather-direction
+  equivalent), plus the alpha*beta / sum-gamma invariant traces.
+  ``W1 @ alpha'`` is recomputed from the alpha stream rather than
+  streamed: the kernels are DMA-bound, the MXU is idle.
 """
 
 from __future__ import annotations
@@ -81,14 +89,20 @@ class _WK:
     """Kernel-side view of one stratified matrix: canonical device
     arrays plus static tile coordinates (python ints -> the tile loop is
     fully unrolled at trace time).  ``mm_dtype`` sets the MXU operand
-    precision: bfloat16 fast mode or float32 parity mode."""
+    precision: bfloat16 fast mode or float32 parity mode.
+
+    Tiles are re-sorted by (block_col, block_row) and same-column runs
+    execute as ONE tall ``(k*128, 128) @ (128, Bt)`` dot: a 128^3 dot
+    occupies one MXU for ~128 cycles, so a long unrolled chain of
+    single-tile dots serializes at ~136 ns each no matter how many MXUs
+    the chip has — stacking k tiles into one dot lets Mosaic spread the
+    M dimension across MXUs and cuts issue overhead k-fold.  The stack
+    is a contiguous reshape of the stored (n, 128, 128) array (free)."""
 
     def __init__(self, w: WArrays, mm_dtype=BF):
         self.has_diag = w.diag is not None
         self.has_dense = w.dense is not None
         self.r0, self.c0 = w.dense_r0, w.dense_c0
-        self.rows = tuple(w.rows)
-        self.cols = tuple(w.cols)
         self.mm = jnp.dtype(mm_dtype)
         # f32 parity mode must not let the MXU round operands to bf16;
         # Mosaic's dot lowering supports DEFAULT and HIGHEST only (HIGH
@@ -97,13 +111,29 @@ class _WK:
         # native single-pass rate.
         self.prec = (jax.lax.Precision.DEFAULT if self.mm == jnp.bfloat16
                      else jax.lax.Precision.HIGHEST)
+        # group tiles by block column: tiles within a group share the
+        # same RHS slice v[c*128:(c+1)*128]
+        order = sorted(range(len(w.rows)),
+                       key=lambda k: (w.cols[k], w.rows[k]))
+        self.groups = []                  # (col, rows_in_group, start)
+        pos = 0
+        k = 0
+        while k < len(order):
+            c = w.cols[order[k]]
+            rows = []
+            while k < len(order) and w.cols[order[k]] == c:
+                rows.append(int(w.rows[order[k]]))
+                k += 1
+            self.groups.append((int(c), tuple(rows), pos))
+            pos += len(rows)
         self.arrays = []
         if self.has_diag:
             self.arrays.append(jnp.asarray(w.diag, jnp.float32)[:, None])
         if self.has_dense:
             self.arrays.append(jnp.asarray(w.dense, self.mm))
-        if self.rows:
-            self.arrays.append(jnp.asarray(w.tiles, self.mm))
+        if self.groups:
+            tiles = jnp.asarray(w.tiles, self.mm)
+            self.arrays.append(tiles[jnp.asarray(order, jnp.int32)])
 
     @property
     def n_args(self) -> int:
@@ -132,33 +162,53 @@ class _WK:
                           preferred_element_type=jnp.float32,
                           precision=self.prec)
             out_ref[self.r0:self.r0 + R, :] += blk
-        if self.rows:
+        if self.groups:
             tref = refs[i]
-            for k, (r, c) in enumerate(zip(self.rows, self.cols)):
-                blk = jnp.dot(tref[k],
+            bt = v.shape[1]
+            for c, rows, start in self.groups:
+                k = len(rows)
+                tall = tref[start:start + k].reshape(k * 128, 128)
+                blk = jnp.dot(tall,
                               v[c * 128:(c + 1) * 128].astype(self.mm),
                               preferred_element_type=jnp.float32,
                               precision=self.prec)
-                out_ref[r * 128:(r + 1) * 128, :] += blk
+                for j, r in enumerate(rows):
+                    out_ref[r * 128:(r + 1) * 128, :] += \
+                        blk[j * 128:(j + 1) * 128]
 
 
 # ----------------------------------------------------------------------
 # Forward sweep
 # ----------------------------------------------------------------------
 
-def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
-    n = [w1.n_args, w2.n_args, ef.n_args, eg.n_args]
+def _xsrc_value(mode, eh, eh_refs, xdst, xsrc_ref, xsrc_scr):
+    """x_src per the graph's xsrc_mode: aliased to x_dst, derived from
+    it by the one-hot state map E_h (MXU work hidden under the stream
+    DMA), or read from its own gathered stream."""
+    if mode == "identity":
+        return xdst
+    if mode == "matrix":
+        eh.apply(eh_refs, xdst, xsrc_scr)
+        return xsrc_scr[:]
+    return xsrc_ref[0].astype(jnp.float32)
+
+
+def _fwd_kernel_factory(w1, w2, eh, mode, T, s_pad, b_tile, sd):
+    n = [w1.n_args, w2.n_args, eh.n_args if eh else 0]
 
     def kernel(*refs):
         (lc_ref, len_ref, init_ref, leaky_ref) = refs[:4]
         o = 4
         w1_refs = refs[o:o + n[0]]; o += n[0]
         w2_refs = refs[o:o + n[1]]; o += n[1]
-        ef_refs = refs[o:o + n[2]]; o += n[2]
-        eg_refs = refs[o:o + n[3]]; o += n[3]
-        px_ref = refs[o]; o += 1
-        ad_out, s_out, w1fwd_out = refs[o:o + 3]
-        ad, acc, xdst, xsrc, s_scr = refs[o + 3:]
+        eh_refs = refs[o:o + n[2]]; o += n[2]
+        xdst_ref = refs[o]; o += 1
+        xsrc_ref = None
+        if mode == "stream":
+            xsrc_ref = refs[o]; o += 1
+        ad_out, s_out, ad_last_out = refs[o:o + 3]
+        ad, acc, s_scr = refs[o + 3:o + 6]
+        xsrc_scr = refs[o + 6] if mode == "matrix" else None
 
         t = pl.program_id(1)
         leaky_c = lc_ref[0, 0]
@@ -170,17 +220,19 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
             ad0 = init_col + leaky_c * s0 * leaky_ref[:]
             ad[:] = jnp.broadcast_to(ad0, (s_pad, b_tile))
             s_scr[0, :] = jnp.full((b_tile,), s0, jnp.float32)
+            ad_last_out[:] = jnp.broadcast_to(ad0, (s_pad, b_tile))
 
-        px = px_ref[0].astype(jnp.float32)                # (p_eff, Bt)
-        ef.apply(ef_refs, px, xdst)
-        eg.apply(eg_refs, px, xsrc)
+        xdst = xdst_ref[0].astype(jnp.float32)            # (S_pad, Bt)
+        xsrc = _xsrc_value(mode, eh, eh_refs, xdst, xsrc_ref, xsrc_scr)
 
         ad_v = ad[:]
         w1.apply(w1_refs, ad_v, acc)                      # acc = W1 @ ad
-        w1fwd_out[0] = acc[:].astype(sd)
-        a_part = xdst[:] * acc[:]
-        w2.apply(w2_refs, xsrc[:] * ad_v, acc)            # acc = W2 @ u
-        a = (a_part + acc[:]) / s_scr[0, :][None, :]
+        a_part = xdst * acc[:]
+        w2.apply(w2_refs, xsrc * ad_v, acc)               # acc = W2 @ u
+        # reciprocal once on a (1, Bt) row; a full-matrix divide costs
+        # several times a multiply on the VPU
+        r = 1.0 / s_scr[0, :][None, :]
+        a = (a_part + acc[:]) * r
         s_t = jnp.sum(a, axis=0)
         ad_t = a + leaky_c * s_t[None, :] * leaky_ref[:]
         active = len_ref[0, :] > t                        # t+1 <= T_b
@@ -190,18 +242,26 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
         s_scr[0, :] = s_new
         ad_out[0] = ad_new.astype(sd)
         s_out[0, 0, :] = s_new
+        # alpha' at each sequence's own final frame, accumulated in a
+        # constant-index output block: replaces a take_along_axis over
+        # the whole (T, S_pad, B) stream outside the kernel (measured
+        # 9 ms at the headline size — it re-read the entire stream).
+        at_end = len_ref[0, :] == (t + 1)
+        ad_last_out[:] = jnp.where(at_end[None, :], ad_new,
+                                   ad_last_out[:])
 
     return kernel
 
 
-def _fwd_pallas(fa: FactorizedArrays, px_bf, lengths, leaky_coefficient,
-                b_tile, mm, sd):
-    T, p_eff, B = px_bf.shape
+def _fwd_pallas(fa: FactorizedArrays, xdst_bf, xsrc_bf, lengths,
+                leaky_coefficient, b_tile, mm, sd):
+    T, _, B = xdst_bf.shape
     s_pad = fa.s_pad
     nb = B // b_tile
-    w1, w2, ef, eg = (_WK(fa.w1, mm), _WK(fa.w2, mm), _WK(fa.e_f, mm),
-                      _WK(fa.e_g, mm))
-    kernel = _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd)
+    mode = fa.xsrc_mode
+    w1, w2 = _WK(fa.w1, mm), _WK(fa.w2, mm)
+    eh = _WK(fa.e_h, mm) if mode == "matrix" else None
+    kernel = _fwd_kernel_factory(w1, w2, eh, mode, T, s_pad, b_tile, sd)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -211,33 +271,36 @@ def _fwd_pallas(fa: FactorizedArrays, px_bf, lengths, leaky_coefficient,
     w_spec = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim,
                                     memory_space=pltpu.VMEM)
 
+    wks = [w1, w2] + ([eh] if eh else [])
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
         pl.BlockSpec((1, b_tile), lambda b, t: (0, b),
                      memory_space=pltpu.VMEM),            # lengths
         res_col(), res_col(),                             # init, leaky
-        *[w_spec(a) for w in (w1, w2, ef, eg) for a in w.arrays],
-        stream(p_eff),                                    # px
+        *[w_spec(a) for w in wks for a in w.arrays],
+        stream(s_pad),                                    # xdst
+        *([stream(s_pad)] if mode == "stream" else []),   # xsrc
     ]
     out_specs = [
         stream(s_pad),                                    # ad_ys
         pl.BlockSpec((1, 8, b_tile), lambda b, t: (t, 0, b),
                      memory_space=pltpu.VMEM),            # s_ys
-        stream(s_pad),                                    # w1fwd_ys
+        pl.BlockSpec((s_pad, b_tile), lambda b, t: (0, b),
+                     memory_space=pltpu.VMEM),            # ad_last
     ]
     out_shape = [
         jax.ShapeDtypeStruct((T, s_pad, B), sd),
         jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, s_pad, B), sd),
+        jax.ShapeDtypeStruct((s_pad, B), jnp.float32),
     ]
     scratch = [
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # ad carry
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # acc
-        pltpu.VMEM((s_pad, b_tile), jnp.float32),         # xdst
-        pltpu.VMEM((s_pad, b_tile), jnp.float32),         # xsrc
         pltpu.VMEM((8, b_tile), jnp.float32),             # s carry
     ]
+    if mode == "matrix":
+        scratch.append(pltpu.VMEM((s_pad, b_tile), jnp.float32))  # xsrc
     return pl.pallas_call(
         kernel,
         grid=(nb, T),
@@ -252,31 +315,37 @@ def _fwd_pallas(fa: FactorizedArrays, px_bf, lengths, leaky_coefficient,
     )(jnp.asarray(leaky_coefficient, jnp.float32).reshape(1, 1),
       lengths.reshape(1, B).astype(jnp.int32),
       fa.initial[:, None], fa.leaky[:, None],
-      *w1.arrays, *w2.arrays, *ef.arrays, *eg.arrays, px_bf)
+      *[a for w in wks for a in w.arrays],
+      xdst_bf, *([xsrc_bf] if mode == "stream" else []))
 
 
 # ----------------------------------------------------------------------
 # Backward sweep
 # ----------------------------------------------------------------------
 
-def _bwd_kernel_factory(w1t, w2t, ef, eg, eft, egt, T, s_pad, p_pad,
-                        b_tile, sd):
-    n = [w1t.n_args, w2t.n_args, ef.n_args, eg.n_args, eft.n_args,
-         egt.n_args]
+def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T, s_pad,
+                        p_pad, b_tile, sd):
+    n = [w1.n_args, w1t.n_args, w2t.n_args, eft.n_args, egt.n_args,
+         eh.n_args if eh else 0]
 
     def kernel(*refs):
         (lc_ref, len_ref, tot_ref, init_ref, leaky_ref, final_ref,
          s_all_ref) = refs[:7]
         o = 7
-        w1t_refs = refs[o:o + n[0]]; o += n[0]
-        w2t_refs = refs[o:o + n[1]]; o += n[1]
-        ef_refs = refs[o:o + n[2]]; o += n[2]
-        eg_refs = refs[o:o + n[3]]; o += n[3]
-        eft_refs = refs[o:o + n[4]]; o += n[4]
-        egt_refs = refs[o:o + n[5]]; o += n[5]
-        ad_prev_ref, w1fwd_ref, px_ref = refs[o:o + 3]
-        gamma_out, ab_out, gs_out = refs[o + 3:o + 6]
-        bd, acc, xdst, xsrc, gacc = refs[o + 6:]
+        w1_refs = refs[o:o + n[0]]; o += n[0]
+        w1t_refs = refs[o:o + n[1]]; o += n[1]
+        w2t_refs = refs[o:o + n[2]]; o += n[2]
+        eft_refs = refs[o:o + n[3]]; o += n[3]
+        egt_refs = refs[o:o + n[4]]; o += n[4]
+        eh_refs = refs[o:o + n[5]]; o += n[5]
+        ad_prev_ref = refs[o]; o += 1
+        xdst_ref = refs[o]; o += 1
+        xsrc_ref = None
+        if mode == "stream":
+            xsrc_ref = refs[o]; o += 1
+        gamma_out, ab_out, gs_out = refs[o:o + 3]
+        bd, acc, gacc, w1fwd_scr = refs[o + 3:o + 7]
+        xsrc_scr = refs[o + 7] if mode == "matrix" else None
 
         g = pl.program_id(1)
         u = T - 1 - g
@@ -290,9 +359,8 @@ def _bwd_kernel_factory(w1t, w2t, ef, eg, eft, egt, T, s_pad, p_pad,
         leaky_col = leaky_ref[:]
         final_col = final_ref[:]
 
-        px = px_ref[0].astype(jnp.float32)
-        ef.apply(ef_refs, px, xdst)
-        eg.apply(eg_refs, px, xsrc)
+        xdst = xdst_ref[0].astype(jnp.float32)            # (S_pad, Bt)
+        xsrc = _xsrc_value(mode, eh, eh_refs, xdst, xsrc_ref, xsrc_scr)
 
         # alpha'(u): streamed ys block u-1, or rebuilt ad0 when u == 0
         init_col = init_ref[:]
@@ -307,24 +375,31 @@ def _bwd_kernel_factory(w1t, w2t, ef, eg, eft, egt, T, s_pad, p_pad,
         b_next = bd_eff + leaky_c * jnp.sum(
             bd_eff * leaky_col, axis=0, keepdims=True)
 
-        w1fwd = w1fwd_ref[0].astype(jnp.float32)
+        # W1 @ alpha'(u): recomputed from the ad stream (the MXU idles
+        # under the DMA) instead of a third (T, S_pad, B) stream
+        w1.apply(w1_refs, ad_u, w1fwd_scr)
         s_u = s_all_ref[pl.ds(u, 1), :]                   # (1, b_tile)
         inv = 1.0 / s_u
 
-        xb = xdst[:] * b_next
+        xb = xdst * b_next
         w1t.apply(w1t_refs, xb, acc)                      # W1^T @ xb
         bd_part = acc[:]
         w2t.apply(w2t_refs, b_next, acc)                  # W2^T @ b_next
         w2term = acc[:]
-        bd_t = (bd_part + xsrc[:] * w2term) * inv
+        bd_t = (bd_part + xsrc * w2term) * inv
 
         active = lengths_v > u
-        c1 = jnp.where(active[None, :], xb * w1fwd * inv, 0.0)
-        c2 = jnp.where(active[None, :], xsrc[:] * ad_u * w2term * inv, 0.0)
+        # inv scaling and the active mask commute with the linear E^T
+        # scatters: apply them once to gamma (per-column scalars)
+        # instead of to both (S_pad, Bt) masses.
+        c1 = xb * w1fwd_scr[:]
+        c2 = xsrc * ad_u * w2term
         eft.apply(eft_refs, c1, gacc)                     # E_f^T c1
         egt.apply(egt_refs, c2, gacc, accumulate=True)    # += E_g^T c2
-        gamma_out[0] = gacc[:].astype(sd)
-        gs_out[0, 0, :] = jnp.sum(gacc[:], axis=0)
+        gscale = jnp.where(active[None, :], inv, 0.0)     # (1, Bt)
+        gamma_t = gacc[:] * gscale
+        gamma_out[0] = gamma_t.astype(sd)
+        gs_out[0, 0, :] = jnp.sum(gacc[:], axis=0) * gscale[0]
 
         bd_new = jnp.where(active[None, :], bd_t, bd_eff)
         bd[:] = bd_new
@@ -333,17 +408,19 @@ def _bwd_kernel_factory(w1t, w2t, ef, eg, eft, egt, T, s_pad, p_pad,
     return kernel
 
 
-def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1fwd_ys, px_bf, s_all,
-                lengths, tot_prob, leaky_coefficient, b_tile, mm, sd):
-    T, p_eff, B = px_bf.shape
+def _bwd_pallas(fa: FactorizedArrays, ad_ys, xdst_bf, xsrc_bf,
+                s_all, lengths, tot_prob, leaky_coefficient, b_tile, mm,
+                sd):
+    T, _, B = xdst_bf.shape
     s_pad = fa.s_pad
     p_pad = fa.p_pad
     nb = B // b_tile
-    w1t, w2t = _WK(fa.w1t, mm), _WK(fa.w2t, mm)
-    ef, eg, eft, egt = (_WK(fa.e_f, mm), _WK(fa.e_g, mm),
-                        _WK(fa.e_ft, mm), _WK(fa.e_gt, mm))
-    kernel = _bwd_kernel_factory(w1t, w2t, ef, eg, eft, egt, T, s_pad,
-                                 p_pad, b_tile, sd)
+    mode = fa.xsrc_mode
+    w1, w1t, w2t = _WK(fa.w1, mm), _WK(fa.w1t, mm), _WK(fa.w2t, mm)
+    eft, egt = _WK(fa.e_ft, mm), _WK(fa.e_gt, mm)
+    eh = _WK(fa.e_h, mm) if mode == "matrix" else None
+    kernel = _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T,
+                                 s_pad, p_pad, b_tile, sd)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -359,6 +436,7 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1fwd_ys, px_bf, s_all,
     brow = lambda: pl.BlockSpec((1, b_tile), lambda b, t: (0, b),
                                 memory_space=pltpu.VMEM)
 
+    wks = [w1, w1t, w2t, eft, egt] + ([eh] if eh else [])
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
@@ -366,11 +444,10 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1fwd_ys, px_bf, s_all,
         res_col(), res_col(), res_col(),                  # init, leaky, final
         pl.BlockSpec((T + 1, b_tile), lambda b, t: (0, b),
                      memory_space=pltpu.VMEM),            # s_all
-        *[w_spec(a) for w in (w1t, w2t, ef, eg, eft, egt)
-          for a in w.arrays],
+        *[w_spec(a) for w in wks for a in w.arrays],
         rev_shift,                                        # ad_ys (u-1)
-        rev(s_pad),                                       # w1fwd_ys
-        rev(p_eff),                                       # px
+        rev(s_pad),                                       # xdst
+        *([rev(s_pad)] if mode == "stream" else []),      # xsrc
     ]
     out_specs = [
         rev(p_pad),                                       # gamma
@@ -387,10 +464,11 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1fwd_ys, px_bf, s_all,
     scratch = [
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # bd carry
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # acc
-        pltpu.VMEM((s_pad, b_tile), jnp.float32),         # xdst
-        pltpu.VMEM((s_pad, b_tile), jnp.float32),         # xsrc
         pltpu.VMEM((p_pad, b_tile), jnp.float32),         # gamma acc
+        pltpu.VMEM((s_pad, b_tile), jnp.float32),         # W1 @ ad_u
     ]
+    if mode == "matrix":
+        scratch.append(pltpu.VMEM((s_pad, b_tile), jnp.float32))  # xsrc
     return pl.pallas_call(
         kernel,
         grid=(nb, T),
@@ -406,8 +484,8 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1fwd_ys, px_bf, s_all,
       lengths.reshape(1, B).astype(jnp.int32),
       tot_prob.reshape(1, B).astype(jnp.float32),
       fa.initial[:, None], fa.leaky[:, None], fa.final[:, None],
-      s_all, *w1t.arrays, *w2t.arrays, *ef.arrays, *eg.arrays,
-      *eft.arrays, *egt.arrays, ad_ys, w1fwd_ys, px_bf)
+      s_all, *[a for w in wks for a in w.arrays],
+      ad_ys, xdst_bf, *([xsrc_bf] if mode == "stream" else []))
 
 
 # ----------------------------------------------------------------------
@@ -430,7 +508,6 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
         while B % b_tile:
             b_tile //= 2
     s_pad = fa.s_pad
-    p_eff = max(-(-P // 128) * 128, fa.p_pad)
     lengths = lengths.astype(jnp.int32)
 
     # precision mode follows the graph's tile dtype: bfloat16 tiles ->
@@ -441,13 +518,19 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
         mm = jnp.dtype(fa.w1.dense.dtype)
     sd = BF if mm == BF else jnp.float32
 
-    px_tm = jnp.transpose(px, (1, 2, 0))                  # (T, P, B)
-    if p_eff != P:
-        px_tm = jnp.pad(px_tm, ((0, 0), (0, p_eff - P), (0, 0)))
-    px_bf = px_tm.astype(sd)
+    # Emission lookups as XLA shared-index row gathers fused into the
+    # prep transpose: x_dst[s] = px[f(s)], x_src[s] = px[g(s)].  The
+    # in-kernel one-hot alternative costs ~160 small MXU dots per step.
+    # x_src usually needs no stream of its own (fa.xsrc_mode).
+    xdst_bf = jnp.transpose(jnp.take(px, fa.f_dst, axis=2),
+                            (1, 2, 0)).astype(sd)         # (T, S_pad, B)
+    xsrc_bf = None
+    if fa.xsrc_mode == "stream":
+        xsrc_bf = jnp.transpose(jnp.take(px, fa.g_src, axis=2),
+                                (1, 2, 0)).astype(sd)
 
-    ad_ys, s_ys8, w1fwd_ys = _fwd_pallas(
-        fa, px_bf, lengths, leaky_coefficient, b_tile, mm, sd)
+    ad_ys, s_ys8, ad_last = _fwd_pallas(
+        fa, xdst_bf, xsrc_bf, lengths, leaky_coefficient, b_tile, mm, sd)
     s_ys = s_ys8[:, 0, :]                                 # (T, B)
 
     s0 = jnp.full((B,), fa.initial.sum(), px.dtype)
@@ -457,24 +540,24 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     ts = jnp.arange(T + 1, dtype=jnp.int32)
     loglike = jnp.where(ts[:, None] < lengths[None, :],
                         jnp.log(jnp.maximum(s_all, 1e-30)), 0.0).sum(0)
-    idx = (lengths - 1)[None, None, :].astype(jnp.int32)
-    ad_last = jnp.take_along_axis(
-        ad_ys, jnp.broadcast_to(idx, (1, s_pad, B)), axis=0)[0].astype(
-            jnp.float32)
     tot_prob = (ad_last * fa.final[:, None]).sum(axis=0)
     objf = loglike + jnp.log(tot_prob)
 
     gamma_ys, ab8, gs8 = _bwd_pallas(
-        fa, ad_ys, w1fwd_ys, px_bf, s_all, lengths, tot_prob,
+        fa, ad_ys, xdst_bf, xsrc_bf, s_all, lengths, tot_prob,
         leaky_coefficient, b_tile, mm, sd)
 
-    gamma = jnp.transpose(gamma_ys.astype(px.dtype), (2, 0, 1))
-    if gamma.shape[2] < P:
-        gamma = jnp.pad(gamma, ((0, 0), (0, 0), (0, P - gamma.shape[2])))
-    elif gamma.shape[2] > P:
-        gamma = gamma[:, :, :P]
+    # compact posterior: exactly (T, P, B) in the kernel's storage dtype
+    gamma_tm = gamma_ys
+    if gamma_tm.shape[1] < P:
+        gamma_tm = jnp.pad(gamma_tm,
+                           ((0, 0), (0, P - gamma_tm.shape[1]), (0, 0)))
+    elif gamma_tm.shape[1] > P:
+        gamma_tm = gamma_tm[:, :P, :]
+    gamma = jnp.transpose(gamma_tm, (2, 0, 1)).astype(px.dtype)
 
     alpha_beta = jnp.transpose(ab8[:, 0, :], (1, 0))      # (B, T)
     gamma_sum = jnp.transpose(gs8[:, 0, :], (1, 0))
     ok = _ok_flags(objf, alpha_beta, gamma_sum)
-    return FwdBwdResult(objf, gamma, ok, alpha_beta, gamma_sum)
+    return FwdBwdResult(objf, gamma, ok, alpha_beta, gamma_sum,
+                        gamma_tm=gamma_tm)
