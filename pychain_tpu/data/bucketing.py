@@ -42,7 +42,13 @@ class BucketSpec:
 
     @staticmethod
     def linear(step: int = 100, max_t: int = 2000) -> "BucketSpec":
-        return BucketSpec(tuple(range(step, max_t + 1, step)))
+        """Linear ladder; always covers max_t even when step does not
+        divide it (otherwise utterances of length in (last_rung, max_t]
+        would overflow the top bucket and pad_to_bucket would raise)."""
+        rungs = list(range(step, max_t + 1, step))
+        if not rungs or rungs[-1] < max_t:
+            rungs.append(max_t)
+        return BucketSpec(tuple(rungs))
 
     def bucket_for(self, t: int) -> int:
         """Smallest bucket >= t (clamps to the largest bucket)."""

@@ -40,7 +40,7 @@ def linear_fst(pdf_ids, seed=None):
 
 
 def denominator_fst(num_phones=40, states_per_phone=2, num_pdfs=None,
-                    seed=0, bigram_fanout=10):
+                    seed=0, bigram_fanout=10, forward_pdf_mode="source"):
     """A denominator-like ergodic HMM from a synthetic phone bigram LM.
 
     Structure mirrors Kaldi chain denominator graphs: each phone is an
@@ -51,6 +51,18 @@ def denominator_fst(num_phones=40, states_per_phone=2, num_pdfs=None,
     K ~ S * (2 + ...) — e.g. num_phones=1500, states_per_phone=2 gives
     S=3000, K~48k, matching the "trigram phone LM (~3k states)" baseline
     config.
+
+    ``forward_pdf_mode`` controls what within-phone forward arcs emit,
+    to exercise the three emission-attachment regimes of the
+    factorizing compiler (graphs/factorize.py xsrc_mode):
+
+    * "source" (default): the source state's own pdf — x_src == x_dst
+      ("identity"),
+    * "cross": another state's self-loop pdf — x_src reachable from
+      x_dst through a one-hot state map ("matrix"),
+    * "separate": a dedicated forward pdf per state, as in Kaldi's
+      actual chain topology (self-loop pdf != forward pdf) — x_src
+      needs its own gathered stream ("stream").
     """
     rng = np.random.RandomState(seed)
     S = num_phones * states_per_phone
@@ -63,6 +75,13 @@ def denominator_fst(num_phones=40, states_per_phone=2, num_pdfs=None,
     def pdf(phone, pos):
         return (phone * states_per_phone + pos) % num_pdfs
 
+    def fwd_pdf(phone, pos):
+        if forward_pdf_mode == "separate":
+            return num_pdfs + pdf(phone, pos)
+        if forward_pdf_mode == "cross":
+            return pdf((phone + 1) % num_phones, 0)
+        return pdf(phone, pos)
+
     arcs = []
     finals = {}
     for ph in range(num_phones):
@@ -72,8 +91,9 @@ def denominator_fst(num_phones=40, states_per_phone=2, num_pdfs=None,
             arcs.append((s, s, pdf(ph, pos) + 1, pdf(ph, pos) + 1,
                          float(rng.uniform(0.3, 1.2))))
             if pos + 1 < states_per_phone:
-                arcs.append((s, state(ph, pos + 1), pdf(ph, pos) + 1,
-                             pdf(ph, pos) + 1, float(rng.uniform(0.3, 1.2))))
+                arcs.append((s, state(ph, pos + 1), fwd_pdf(ph, pos) + 1,
+                             fwd_pdf(ph, pos) + 1,
+                             float(rng.uniform(0.3, 1.2))))
         # phone-final state transitions to next phones' first states
         end = state(ph, states_per_phone - 1)
         nxt = rng.choice(num_phones, size=min(bigram_fanout, num_phones),
@@ -82,7 +102,9 @@ def denominator_fst(num_phones=40, states_per_phone=2, num_pdfs=None,
             arcs.append((end, state(int(nph), 0), pdf(int(nph), 0) + 1,
                          pdf(int(nph), 0) + 1, float(rng.uniform(0.5, 3.0))))
         finals[end] = float(rng.uniform(0.5, 2.0))
-    return FST.from_arcs(S, 0, arcs, finals), num_pdfs
+    total_pdfs = (2 * num_pdfs if forward_pdf_mode == "separate"
+                  else num_pdfs)
+    return FST.from_arcs(S, 0, arcs, finals), total_pdfs
 
 
 def sausage_fst(pdf_alternatives, seed=0):

@@ -60,6 +60,42 @@ def test_pallas_gradient_path():
                                rtol=2e-2, atol=4e-3)
 
 
+@pytest.mark.parametrize("fwd_mode,want_xsrc", [
+    ("source", "identity"),
+    ("cross", "matrix"),
+    ("separate", "stream"),
+])
+def test_pallas_xsrc_modes(fwd_mode, want_xsrc):
+    """All three x_src derivations (aliased to x_dst / one-hot state
+    map / own gathered stream) must match the XLA factorized engine.
+    "separate" mirrors Kaldi's real chain topology (self-loop pdf !=
+    forward pdf)."""
+    rng = np.random.RandomState(7)
+    den_fst, P = denominator_fst(num_phones=9, states_per_phone=2,
+                                 seed=7, forward_pdf_mode=fwd_mode)
+    den = ChainGraph(den_fst, log_domain=False)
+    B, T = 3, 6
+    batch = ChainGraphBatch(den, B)
+    assert batch._fact.xsrc_mode == want_xsrc
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.array([6, 4, 2], np.int32)
+
+    _, ref = chain_function_with_aux(x, lengths, batch, impl="factorized")
+    _, got = chain_function_with_aux(x, lengths, batch, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got.objf), np.asarray(ref.objf),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.gamma),
+                               np.asarray(ref.gamma), rtol=1e-3, atol=1e-4)
+    assert np.all(np.asarray(got.ok))
+
+    g_pal = jax.grad(lambda xx: chain_function(
+        xx, lengths, batch, impl="pallas"))(x)
+    g_ref = jax.grad(lambda xx: chain_function(
+        xx, lengths, batch, impl="factorized"))(x)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_pallas_rejects_residual_graphs():
     fst = random_fst(num_states=9, num_pdfs=6, max_arcs_per_state=4, seed=3)
     den = ChainGraph(fst, log_domain=False)

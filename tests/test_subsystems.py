@@ -22,6 +22,17 @@ def test_bucket_spec():
     assert spec.bucket_for(99999) == 1000
 
 
+def test_linear_ladder_covers_max_t():
+    # step not dividing max_t: the top bucket must still cover max_t,
+    # otherwise pad_to_bucket raises for the longest utterances
+    spec = BucketSpec.linear(step=25, max_t=90)
+    assert spec.lengths[-1] == 90
+    assert spec.bucket_for(82) == 90
+    feats = [np.ones((82, 4))]
+    out, lens = pad_to_bucket(feats, np.array([0]), t_pad=spec.bucket_for(82))
+    assert out.shape == (1, 90, 4)
+
+
 def test_bucketer_groups_by_length():
     lengths = np.array([10, 500, 13, 480, 15, 470, 11, 490])
     b = LengthBucketer(BucketSpec.linear(step=50, max_t=500), shuffle=False)
