@@ -215,7 +215,7 @@ def forward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
     ts = jnp.arange(1, T + 1, dtype=lengths.dtype)
 
     def step(carry, xs):
-        ad_prev, s_prev, loglike = carry
+        ad_prev, s_prev, loglike, ad_last = carry
         px_t, t = xs
         x_dst = _apply_w(fa.e_f, px_t, prec)              # (S_pad, B)
         x_src = _apply_w(fa.e_g, px_t, prec)
@@ -230,18 +230,19 @@ def forward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
             t < lengths, jnp.log(jnp.where(s_t > 0, s_t, 1.0)), 0.0)
         ad_new = jnp.where(active[None, :], ad_t, ad_prev)
         s_new = jnp.where(active, s_t, s_prev)
-        return (ad_new, s_new, loglike), (ad_new, s_new)
+        # alpha' at each sequence's own final frame, captured in the
+        # carry: a post-hoc take_along_axis would re-read the whole
+        # (T+1, S_pad, B) history from HBM
+        ad_last = jnp.where((t == lengths)[None, :], ad_new, ad_last)
+        return (ad_new, s_new, loglike, ad_last), (ad_new, s_new)
 
     loglike0 = jnp.log(s0)
-    (_, _, loglike), (ad_ys, s_ys) = jax.lax.scan(
-        step, (ad0, s0, loglike0), (px_tm, ts))
+    (_, _, loglike, ad_last), (ad_ys, s_ys) = jax.lax.scan(
+        step, (ad0, s0, loglike0, ad0), (px_tm, ts))
 
     alpha_dash = jnp.concatenate([ad0[None], ad_ys], axis=0)
     alpha_sums = jnp.concatenate([s0[None], s_ys], axis=0)
 
-    idx = lengths[None, None, :].astype(jnp.int32)
-    ad_last = jnp.take_along_axis(
-        alpha_dash, jnp.broadcast_to(idx, (1, s_pad, B)), axis=0)[0]
     tot_prob = (ad_last * fa.final[:, None]).sum(axis=0)
     objf = loglike + jnp.log(tot_prob)
     return alpha_dash, alpha_sums, objf, tot_prob

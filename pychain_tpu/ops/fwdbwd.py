@@ -162,7 +162,7 @@ def forward_prob(px, lengths, g: GraphArrays, leaky_coefficient: float):
     ts = jnp.arange(1, T + 1, dtype=lengths.dtype)
 
     def step(carry, xs):
-        ad_prev, s_prev, loglike = carry
+        ad_prev, s_prev, loglike, ad_last = carry
         px_t, t = xs
         av = _gather(ad_prev, g.bwd_src, g.shared)          # (B, K)
         ev = _gather(px_t, g.bwd_pdf, g.shared)             # (B, K)
@@ -177,19 +177,19 @@ def forward_prob(px, lengths, g: GraphArrays, leaky_coefficient: float):
             t < lengths, jnp.log(jnp.where(s_t > 0, s_t, 1.0)), 0.0)
         ad_new = jnp.where(active[:, None], ad_t, ad_prev)
         s_new = jnp.where(active, s_t, s_prev)
-        return (ad_new, s_new, loglike), (ad_new, s_new)
+        # alpha' at each sequence's own final frame (cc:209-230),
+        # captured in the carry instead of a post-hoc take_along_axis
+        # that would re-read the whole (T+1, B, S) history from HBM
+        ad_last = jnp.where((t == lengths)[:, None], ad_new, ad_last)
+        return (ad_new, s_new, loglike, ad_last), (ad_new, s_new)
 
     loglike0 = jnp.log(s0)  # frame 0 always active (lengths >= 1)
-    (_, _, loglike), (ad_ys, s_ys) = jax.lax.scan(
-        step, (ad0, s0, loglike0), (px_tm, ts))
+    (_, _, loglike, ad_last), (ad_ys, s_ys) = jax.lax.scan(
+        step, (ad0, s0, loglike0, ad0), (px_tm, ts))
 
     alpha_dash = jnp.concatenate([ad0[None], ad_ys], axis=0)   # (T+1, B, S)
     alpha_sums = jnp.concatenate([s0[None], s_ys], axis=0)     # (T+1, B)
 
-    # Gather alpha' at each sequence's own final frame (cc:209-230).
-    ad_last = jnp.take_along_axis(
-        alpha_dash, lengths[None, :, None].astype(jnp.int32),
-        axis=0)[0]                                             # (B, S)
     tot_prob = (ad_last * _bexp(g, g.final)).sum(axis=1)       # (B,)
     objf = loglike + jnp.log(tot_prob)
     return alpha_dash, alpha_sums, objf, tot_prob
@@ -276,7 +276,7 @@ def forward_log(x, lengths, g: GraphArrays):
     ts = jnp.arange(1, T + 1, dtype=lengths.dtype)
 
     def step(carry, xs):
-        a_prev, s_prev, loglike = carry
+        a_prev, s_prev, loglike, a_last = carry
         x_t, t = xs
         av = _gather(a_prev, g.bwd_src, g.shared)
         ev = _gather(x_t, g.bwd_pdf, g.shared)
@@ -288,16 +288,17 @@ def forward_log(x, lengths, g: GraphArrays):
         loglike = loglike + jnp.where(t < lengths, s_t, 0.0)
         a_new = jnp.where(active[:, None], a_t, a_prev)
         s_new = jnp.where(active, s_t, s_prev)
-        return (a_new, s_new, loglike), (a_new, s_new)
+        # alpha at each sequence's final frame, captured in the carry
+        # (avoids a whole-history take_along_axis afterwards)
+        a_last = jnp.where((t == lengths)[:, None], a_new, a_last)
+        return (a_new, s_new, loglike, a_last), (a_new, s_new)
 
-    (_, _, loglike), (a_ys, s_ys) = jax.lax.scan(
-        step, (a0, s0, jnp.zeros((B,), x.dtype)), (x_tm, ts))
+    (_, _, loglike, a_last), (a_ys, s_ys) = jax.lax.scan(
+        step, (a0, s0, jnp.zeros((B,), x.dtype), a0), (x_tm, ts))
 
     alpha = jnp.concatenate([a0[None], a_ys], axis=0)
     alpha_sums = jnp.concatenate([s0[None], s_ys], axis=0)
 
-    a_last = jnp.take_along_axis(
-        alpha, lengths[None, :, None].astype(jnp.int32), axis=0)[0]
     tlp = jax.nn.logsumexp(a_last + _bexp(g, g.final), axis=1)  # (B,)
     objf = loglike + tlp
     return alpha, alpha_sums, objf, tlp

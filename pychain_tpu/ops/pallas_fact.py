@@ -65,18 +65,24 @@ def supports(fa: FactorizedArrays) -> bool:
 def fits_vmem(fa: FactorizedArrays, b_tile: int = 128) -> bool:
     """Estimate whether the kernels' scoped VMEM fits on-chip.
 
-    The sweeps keep every stratified matrix resident (bf16) for all T
-    steps; Mosaic additionally charges ~1 f32 copy of each tile in
-    register-spill slots for the unrolled tile dots, plus ~24 live
-    (s_pad, b_tile) f32 values.  Measured: S_pad=3072 (196 tiles +
-    1664x1536 dense) fits with ~30 MB headroom; S_pad=8064 (1538
-    tiles) needs ~158 MB and cannot fit in the 128 MB VMEM.  Beyond
-    the budget, dispatch falls back to the XLA factorized engine,
-    which has no VMEM ceiling (weights re-stream from HBM per frame).
+    The binding set is the BACKWARD kernel's residents: W1 (recomputes
+    W1 @ alpha'), W1^T, W2^T, E_f^T, E_g^T (+E_h in matrix mode), kept
+    in VMEM (bf16) for all T steps; Mosaic additionally charges ~1 f32
+    copy of each tile in register-spill slots for the unrolled tile
+    dots, plus ~24 live (s_pad, b_tile) f32 values.  Measured:
+    S_pad=3072 (196 tiles + two 1664x1536 dense blocks) fits with
+    ~20 MB headroom; S_pad=8064 (2562 resident tiles, no dense
+    promotion) needs ~250 MB and cannot fit in the 128 MB VMEM.
+    Beyond the budget, dispatch falls back to the XLA factorized
+    engine, which has no VMEM ceiling (weights re-stream from HBM per
+    frame).
     """
     tiles = 0
     dense = 0
-    for w in (fa.w1, fa.w2, fa.e_f, fa.e_g):
+    residents = [fa.w1, fa.w1, fa.w2, fa.e_f, fa.e_g]  # w1 counted for
+    if fa.e_h is not None:                             # w1 and w1t
+        residents.append(fa.e_h)
+    for w in residents:
         tiles += int(w.tiles.shape[0])
         if w.dense is not None:
             dense += int(w.dense.shape[0]) * int(w.dense.shape[1])
