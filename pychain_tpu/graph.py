@@ -55,6 +55,11 @@ class ChainGraph:
         self.num_transitions = g.num_transitions
         self.start_state = g.start_state
         self.is_empty = False
+        # Widest pdf id referenced by any arc: the nnet output must have
+        # at least this many columns (the reference only asserts this in
+        # a debug build, fstext.cc:42; an out-of-range pdf would silently
+        # produce NaN/garbage through the emission gathers here).
+        self.num_pdfs = int(g.forward_transitions[:, 2].max()) + 1
 
         self.forward_transitions = g.forward_transitions
         self.forward_transition_probs = g.forward_transition_probs
@@ -94,6 +99,7 @@ class ChainGraph:
         self.num_transitions = g.num_transitions
         self.start_state = g.start_state
         self.is_empty = False
+        self.num_pdfs = int(g.forward_transitions[:, 2].max()) + 1
         self.forward_transitions = g.forward_transitions
         self.forward_transition_probs = g.forward_transition_probs
         self.forward_transition_indices = g.forward_transition_indices
@@ -125,6 +131,9 @@ class ChainGraphBatch:
     def __init__(self, graphs, batch_size=None, max_num_transitions=None,
                  max_num_states=None, tile_dtype=None):
         self._tile_dtype = tile_dtype
+        gs = graphs if isinstance(graphs, (list, tuple)) else [graphs]
+        self.num_pdfs = max(
+            (getattr(g, "num_pdfs", 0) for g in gs), default=0)
         if isinstance(graphs, ChainGraph):
             if not batch_size:
                 raise ValueError(
@@ -343,14 +352,14 @@ class ChainGraphBatch:
     def tree_flatten(self):
         children = tuple(getattr(self, n) for n in self._leaves)
         aux = (self.batch_size, self.log_domain, self.shared,
-               self.num_states, self.num_transitions)
+               self.num_states, self.num_transitions, self.num_pdfs)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         self = cls.__new__(cls)
         (self.batch_size, self.log_domain, self.shared,
-         self.num_states, self.num_transitions) = aux
+         self.num_states, self.num_transitions, self.num_pdfs) = aux
         for n, v in zip(cls._leaves, children):
             setattr(self, n, v)
         return self

@@ -233,6 +233,26 @@ _chain_objf_and_aux.defvjp(_chain_objf_and_aux_fwd, _chain_objf_and_aux_bwd)
 
 # -- public functional API ----------------------------------------------
 
+def _check_shapes(x, graphs):
+    """Host-side sanity checks at the public boundary.
+
+    Batch-size mismatch mirrors the reference (loss.py:32-36).  The pdf
+    check is an improvement: the reference only asserts pdf range in a
+    debug build (fstext.cc:42) and an out-of-range pdf would otherwise
+    flow through the emission gathers as silent NaN/garbage here.
+    """
+    if not isinstance(graphs, ChainGraphBatch):
+        return
+    if x.shape[0] != graphs.batch_size:
+        raise ValueError(
+            "input batch size ({}) does not equal to graph batch size ({})"
+            .format(x.shape[0], graphs.batch_size))
+    if graphs.num_pdfs > x.shape[2]:
+        raise ValueError(
+            "graphs reference pdf ids up to {} but the nnet output has "
+            "only {} columns".format(graphs.num_pdfs - 1, x.shape[2]))
+
+
 def chain_function(x, x_lengths, graphs, leaky_coefficient=1e-5,
                    impl: str = "auto"):
     """Total chain log-likelihood, summed over the batch.
@@ -245,10 +265,7 @@ def chain_function(x, x_lengths, graphs, leaky_coefficient=1e-5,
     decreasing length.
     """
     g = dispatch_arrays(graphs, impl)
-    if isinstance(graphs, ChainGraphBatch) and x.shape[0] != graphs.batch_size:
-        raise ValueError(
-            "input batch size ({}) does not equal to graph batch size ({})"
-            .format(x.shape[0], graphs.batch_size))
+    _check_shapes(x, graphs)
     return _chain_objf(x, jnp.asarray(x_lengths), g,
                        jnp.asarray(leaky_coefficient, dtype=x.dtype))
 
@@ -259,6 +276,7 @@ def chain_function_with_aux(x, x_lengths, graphs, leaky_coefficient=1e-5,
     (objf, aux) with aux.objf per-sequence, aux.ok per-sequence sanity
     flags, and the per-frame invariant traces."""
     g = dispatch_arrays(graphs, impl)
+    _check_shapes(x, graphs)
     objf, res = _chain_objf_and_aux(
         x, jnp.asarray(x_lengths), g,
         jnp.asarray(leaky_coefficient, dtype=x.dtype))
@@ -321,11 +339,8 @@ class ChainLoss:
         return self.forward(x, x_lengths, num_graphs)
 
     def forward(self, x, x_lengths, num_graphs):
-        if (isinstance(num_graphs, ChainGraphBatch)
-                and x.shape[0] != num_graphs.batch_size):
-            raise ValueError(
-                "input batch size ({}) does not equal to graph batch "
-                "size ({})".format(x.shape[0], num_graphs.batch_size))
+        _check_shapes(x, num_graphs)
+        _check_shapes(x, self.den_batch(x.shape[0]))
         den = dispatch_arrays(self.den_batch(x.shape[0]), self.impl)
         num = dispatch_arrays(num_graphs)
         return self._jitted(x, jnp.asarray(x_lengths), num, den)

@@ -203,7 +203,7 @@ def _fwd_kernel_factory(w1, w2, eh, mode, T, s_pad, b_tile, sd):
     n = [w1.n_args, w2.n_args, eh.n_args if eh else 0]
 
     def kernel(*refs):
-        (lc_ref, len_ref, init_ref, leaky_ref) = refs[:4]
+        (lc_ref, m_ref, init_ref, leaky_ref) = refs[:4]
         o = 4
         w1_refs = refs[o:o + n[0]]; o += n[0]
         w2_refs = refs[o:o + n[1]]; o += n[1]
@@ -241,25 +241,45 @@ def _fwd_kernel_factory(w1, w2, eh, mode, T, s_pad, b_tile, sd):
         a = (a_part + acc[:]) * r
         s_t = jnp.sum(a, axis=0)
         ad_t = a + leaky_c * s_t[None, :] * leaky_ref[:]
-        active = len_ref[0, :] > t                        # t+1 <= T_b
-        ad_new = jnp.where(active[None, :], ad_t, ad_v)
-        s_new = jnp.where(active, s_t, s_scr[0, :])
-        ad[:] = ad_new
-        s_scr[0, :] = s_new
-        ad_out[0] = ad_new.astype(sd)
-        s_out[0, 0, :] = s_new
+        # NO length freezing of the carry: a lane-varying select here
+        # costs ~8 us/step (it breaks the Mosaic DMA/compute overlap —
+        # see docs/DESIGN.md), and every past-the-end value is provably
+        # cancelled downstream (the beta carry is 0 there, so gamma,
+        # alpha*beta and the masked objf terms never see it; the
+        # recurrence self-normalises, so the junk stays finite).
+        ad[:] = ad_t
+        s_scr[0, :] = s_t
+        ad_out[0] = ad_t.astype(sd)
+        s_out[0, 0, :] = s_t
         # alpha' at each sequence's own final frame, accumulated in a
         # constant-index output block: replaces a take_along_axis over
         # the whole (T, S_pad, B) stream outside the kernel (measured
         # 9 ms at the headline size — it re-read the entire stream).
-        at_end = len_ref[0, :] == (t + 1)
-        ad_last_out[:] = jnp.where(at_end[None, :], ad_new,
-                                   ad_last_out[:])
+        # Captured with exact {0,1} float mask rows precomputed outside
+        # (eq = [lengths == t+1], neq = 1-eq): multiply-add keeps the
+        # overlap that a vector select would destroy, and is exact
+        # because one of the two coefficients is always zero.
+        eq = m_ref[0, 0:1, :]                             # (1, Bt)
+        neq = m_ref[0, 1:2, :]
+        ad_last_out[:] = ad_last_out[:] * neq + ad_t * eq
 
     return kernel
 
 
-def _fwd_pallas(fa: FactorizedArrays, xdst_bf, xsrc_bf, lengths,
+def _length_masks(lengths, T):
+    """(T, 8, B) f32 stream of exact {0,1} per-frame mask rows:
+    row 0 = [lengths == t+1] (final-frame capture / beta injection),
+    row 1 = its complement.  Precomputed by XLA so the kernels never
+    build lane-varying masks (a vector compare+select inside the kernel
+    measurably serialises the Mosaic pipeline)."""
+    B = lengths.shape[0]
+    ts = jnp.arange(T, dtype=jnp.int32)
+    eq = (lengths[None, :] == (ts[:, None] + 1)).astype(jnp.float32)
+    rows = jnp.stack([eq, 1.0 - eq], axis=1)              # (T, 2, B)
+    return jnp.pad(rows, ((0, 0), (0, 6), (0, 0)))        # (T, 8, B)
+
+
+def _fwd_pallas(fa: FactorizedArrays, xdst_bf, xsrc_bf, masks,
                 leaky_coefficient, b_tile, mm, sd):
     T, _, B = xdst_bf.shape
     s_pad = fa.s_pad
@@ -281,8 +301,7 @@ def _fwd_pallas(fa: FactorizedArrays, xdst_bf, xsrc_bf, lengths,
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
-        pl.BlockSpec((1, b_tile), lambda b, t: (0, b),
-                     memory_space=pltpu.VMEM),            # lengths
+        stream(8),                                        # mask rows
         res_col(), res_col(),                             # init, leaky
         *[w_spec(a) for w in wks for a in w.arrays],
         stream(s_pad),                                    # xdst
@@ -319,7 +338,7 @@ def _fwd_pallas(fa: FactorizedArrays, xdst_bf, xsrc_bf, lengths,
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(jnp.asarray(leaky_coefficient, jnp.float32).reshape(1, 1),
-      lengths.reshape(1, B).astype(jnp.int32),
+      masks,
       fa.initial[:, None], fa.leaky[:, None],
       *[a for w in wks for a in w.arrays],
       xdst_bf, *([xsrc_bf] if mode == "stream" else []))
@@ -335,7 +354,7 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T, s_pad,
          eh.n_args if eh else 0]
 
     def kernel(*refs):
-        (lc_ref, len_ref, tot_ref, init_ref, leaky_ref, final_ref,
+        (lc_ref, m_ref, tot_ref, init_ref, leaky_ref, final_ref,
          s_all_ref) = refs[:7]
         o = 7
         w1_refs = refs[o:o + n[0]]; o += n[0]
@@ -361,7 +380,6 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T, s_pad,
         def _():
             bd[:] = jnp.zeros((s_pad, b_tile), jnp.float32)
 
-        lengths_v = len_ref[0, :]
         leaky_col = leaky_ref[:]
         final_col = final_ref[:]
 
@@ -375,9 +393,16 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T, s_pad,
                                (s_pad, b_tile))
         ad_u = jnp.where(u == 0, ad0, ad_prev_ref[0].astype(jnp.float32))
 
-        inject = lengths_v == (u + 1)
+        # beta' injection at each sequence's final frame, via the exact
+        # precomputed {0,1} mask rows (a lane-varying select here would
+        # serialise the pipeline; one coefficient is always zero, so
+        # the multiply-add form is exact).  No other length handling is
+        # needed in this kernel: past a sequence's end bd stays 0, so
+        # gamma, alpha*beta and the carried beta' are all exactly 0.
+        eq = m_ref[0, 0:1, :]                             # (1, Bt)
+        neq = m_ref[0, 1:2, :]
         bd_fin = final_col / tot_ref[0, :][None, :]
-        bd_eff = jnp.where(inject[None, :], bd_fin, bd[:])
+        bd_eff = bd[:] * neq + bd_fin * eq
         b_next = bd_eff + leaky_c * jnp.sum(
             bd_eff * leaky_col, axis=0, keepdims=True)
 
@@ -394,28 +419,25 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T, s_pad,
         w2term = acc[:]
         bd_t = (bd_part + xsrc * w2term) * inv
 
-        active = lengths_v > u
-        # inv scaling and the active mask commute with the linear E^T
-        # scatters: apply them once to gamma (per-column scalars)
-        # instead of to both (S_pad, Bt) masses.
+        # inv scaling commutes with the linear E^T scatters: apply it
+        # once to gamma (a per-column scalar) instead of to both
+        # (S_pad, Bt) masses.
         c1 = xb * w1fwd_scr[:]
         c2 = xsrc * ad_u * w2term
         eft.apply(eft_refs, c1, gacc)                     # E_f^T c1
         egt.apply(egt_refs, c2, gacc, accumulate=True)    # += E_g^T c2
-        gscale = jnp.where(active[None, :], inv, 0.0)     # (1, Bt)
-        gamma_t = gacc[:] * gscale
+        gamma_t = gacc[:] * inv
         gamma_out[0] = gamma_t.astype(sd)
-        gs_out[0, 0, :] = jnp.sum(gacc[:], axis=0) * gscale[0]
+        gs_out[0, 0, :] = jnp.sum(gacc[:], axis=0) * inv[0]
 
-        bd_new = jnp.where(active[None, :], bd_t, bd_eff)
-        bd[:] = bd_new
-        ab_out[0, 0, :] = jnp.sum(ad_u * bd_new, axis=0)
+        bd[:] = bd_t
+        ab_out[0, 0, :] = jnp.sum(ad_u * bd_t, axis=0)
 
     return kernel
 
 
 def _bwd_pallas(fa: FactorizedArrays, ad_ys, xdst_bf, xsrc_bf,
-                s_all, lengths, tot_prob, leaky_coefficient, b_tile, mm,
+                s_all, masks, tot_prob, leaky_coefficient, b_tile, mm,
                 sd):
     T, _, B = xdst_bf.shape
     s_pad = fa.s_pad
@@ -446,7 +468,8 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, xdst_bf, xsrc_bf,
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
-        brow(), brow(),                                   # lengths, tot
+        rev(8),                                           # mask rows (u)
+        brow(),                                           # tot
         res_col(), res_col(), res_col(),                  # init, leaky, final
         pl.BlockSpec((T + 1, b_tile), lambda b, t: (0, b),
                      memory_space=pltpu.VMEM),            # s_all
@@ -487,7 +510,7 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, xdst_bf, xsrc_bf,
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(jnp.asarray(leaky_coefficient, jnp.float32).reshape(1, 1),
-      lengths.reshape(1, B).astype(jnp.int32),
+      masks,
       tot_prob.reshape(1, B).astype(jnp.float32),
       fa.initial[:, None], fa.leaky[:, None], fa.final[:, None],
       s_all, *[a for w in wks for a in w.arrays],
@@ -535,8 +558,10 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
         xsrc_bf = jnp.transpose(jnp.take(px, fa.g_src, axis=2),
                                 (1, 2, 0)).astype(sd)
 
+    masks = _length_masks(lengths, T)
+
     ad_ys, s_ys8, ad_last = _fwd_pallas(
-        fa, xdst_bf, xsrc_bf, lengths, leaky_coefficient, b_tile, mm, sd)
+        fa, xdst_bf, xsrc_bf, masks, leaky_coefficient, b_tile, mm, sd)
     s_ys = s_ys8[:, 0, :]                                 # (T, B)
 
     s0 = jnp.full((B,), fa.initial.sum(), px.dtype)
@@ -550,7 +575,7 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     objf = loglike + jnp.log(tot_prob)
 
     gamma_ys, ab8, gs8 = _bwd_pallas(
-        fa, ad_ys, xdst_bf, xsrc_bf, s_all, lengths, tot_prob,
+        fa, ad_ys, xdst_bf, xsrc_bf, s_all, masks, tot_prob,
         leaky_coefficient, b_tile, mm, sd)
 
     # compact posterior: exactly (T, P, B) in the kernel's storage dtype

@@ -135,3 +135,43 @@ def test_with_aux_single_pass_grad_matches():
     assert np.isfinite(float(v))
     np.testing.assert_allclose(np.asarray(g_aux), np.asarray(g_plain),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_pdf_range_check_rejects_narrow_nnet_output():
+    """Graphs referencing pdf ids beyond the nnet output width must be
+    rejected at the public boundary instead of flowing through the
+    emission gathers as silent NaN (the reference only asserts this in
+    a debug build, fstext.cc:42)."""
+    from pychain_tpu.graphs.fst import FST
+    from pychain_tpu.loss import ChainLoss, chain_function_with_aux
+
+    B, T, P = 2, 3, 4
+    # labels P..P+T-1 -> pdf ids P-1..P+T-2, beyond a P-wide output
+    wide = [ChainGraph(FST.linear([P + t for t in range(T)]),
+                       log_domain=True) for _ in range(B)]
+    batch = ChainGraphBatch(wide, max_num_states=T + 1,
+                            max_num_transitions=T + 2)
+    assert batch.num_pdfs == P + T
+    x = jnp.zeros((B, T, P), jnp.float32)
+    lengths = jnp.full((B,), T, jnp.int32)
+    with pytest.raises(ValueError, match="pdf ids up to"):
+        chain_function(x, lengths, batch)
+    with pytest.raises(ValueError, match="pdf ids up to"):
+        chain_function_with_aux(x, lengths, batch)
+
+    den_fst, DP = denominator_fst(num_phones=4, states_per_phone=2, seed=0)
+    loss = ChainLoss(ChainGraph(den_fst))
+    over = [ChainGraph(FST.linear([DP + t for t in range(T)]),
+                       log_domain=True) for _ in range(B)]
+    over_batch = ChainGraphBatch(over, max_num_states=T + 1,
+                                 max_num_transitions=T + 2)
+    with pytest.raises(ValueError, match="pdf ids up to"):
+        loss(jnp.zeros((B, T, DP), jnp.float32), lengths, over_batch)
+
+    # in-range graphs still pass (num_pdfs == nnet width is fine)
+    ok = [ChainGraph(FST.linear(list(range(T))), log_domain=True)
+          for _ in range(B)]
+    ok_batch = ChainGraphBatch(ok, max_num_states=T + 1,
+                               max_num_transitions=T + 2)
+    assert ok_batch.num_pdfs <= P
+    chain_function(x, lengths, ok_batch)
