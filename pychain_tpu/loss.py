@@ -313,13 +313,20 @@ class ChainLoss:
     """
 
     def __init__(self, den_graph: ChainGraph, leaky_coefficient=1e-5,
-                 avg=True, impl: str = "auto"):
+                 avg=True, impl: str = "auto", tile_dtype=None):
         import functools
 
         self.den_graph = den_graph
         self.leaky_coefficient = leaky_coefficient
         self.avg = avg
         self.impl = impl
+        # tile_dtype="bfloat16" + impl="pallas" is the throughput mode:
+        # bf16 transition tiles/streams at native MXU rate (~0.4%
+        # relative quantisation).  The default keeps float32 parity-
+        # grade numerics; without this knob ChainLoss users could never
+        # reach the benched fast path (f32 tiles select the 3-pass MXU
+        # parity kernels, roughly half the speed and twice the DMA).
+        self.tile_dtype = tile_dtype
         self._den_batches = {}  # batch_size -> ChainGraphBatch cache
         # One jitted function for the module's lifetime: eager op-by-op
         # dispatch is pathological on remote/tunneled backends (measured
@@ -331,8 +338,14 @@ class ChainLoss:
 
     def den_batch(self, batch_size: int) -> ChainGraphBatch:
         if batch_size not in self._den_batches:
-            self._den_batches[batch_size] = ChainGraphBatch(
-                self.den_graph, batch_size)
+            # The batch is built from host constants and CACHED, so it
+            # must never capture tracers: the first call may happen
+            # inside a caller's jit trace, and a cached tracer-backed
+            # batch would poison every later call from a different
+            # context (UnexpectedTracerError).
+            with jax.ensure_compile_time_eval():
+                self._den_batches[batch_size] = ChainGraphBatch(
+                    self.den_graph, batch_size, tile_dtype=self.tile_dtype)
         return self._den_batches[batch_size]
 
     def __call__(self, x, x_lengths, num_graphs):

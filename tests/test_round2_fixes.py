@@ -175,3 +175,50 @@ def test_pdf_range_check_rejects_narrow_nnet_output():
                                max_num_transitions=T + 2)
     assert ok_batch.num_pdfs <= P
     chain_function(x, lengths, ok_batch)
+
+
+def test_chainloss_tile_dtype_fast_mode():
+    """ChainLoss must be able to reach the benched bf16 fast path: the
+    tile_dtype knob flows into the cached denominator batches, and the
+    result stays within the bf16 budget of the default f32 mode."""
+    rng = np.random.RandomState(5)
+    from pychain_tpu.loss import ChainLoss
+    den_fst, P = denominator_fst(num_phones=6, states_per_phone=2, seed=0)
+    den = ChainGraph(den_fst)
+    B, T = 2, 6
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = jnp.full((B,), T, jnp.int32)
+    nums = [ChainGraph(linear_fst(rng.randint(0, P, size=T)),
+                       log_domain=True) for _ in range(B)]
+    num_batch = ChainGraphBatch(nums, max_num_states=T + 1,
+                                max_num_transitions=T + 2)
+
+    slow = ChainLoss(den)
+    fast = ChainLoss(den, impl="pallas", tile_dtype="bfloat16")
+    assert str(fast.den_batch(B)._fact.w1.tiles.dtype) == "bfloat16"
+    assert fast.den_batch(B)._tile_dtype == "bfloat16"
+    l_slow = float(slow(x, lengths, num_batch))
+    l_fast = float(fast(x, lengths, num_batch))
+    np.testing.assert_allclose(l_fast, l_slow, rtol=2e-2, atol=2e-2)
+
+
+def test_chainloss_jit_then_eager_no_tracer_leak():
+    """Calling a ChainLoss module first inside a caller's jit and then
+    eagerly must work: the cached denominator batch is built under
+    ensure_compile_time_eval so the first (traced) call cannot leak
+    tracers into the cache."""
+    rng = np.random.RandomState(6)
+    from pychain_tpu.loss import ChainLoss
+    den_fst, P = denominator_fst(num_phones=4, states_per_phone=2, seed=0)
+    B, T = 2, 5
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = jnp.full((B,), T, jnp.int32)
+    nums = [ChainGraph(linear_fst(rng.randint(0, P, size=T)),
+                       log_domain=True) for _ in range(B)]
+    num_batch = ChainGraphBatch(nums, max_num_states=T + 1,
+                                max_num_transitions=T + 2)
+    loss = ChainLoss(ChainGraph(den_fst))
+    jitted = jax.jit(lambda xx: loss(xx, lengths, num_batch))
+    v_jit = float(jitted(x))
+    v_eager = float(loss(x, lengths, num_batch))  # used to raise
+    np.testing.assert_allclose(v_eager, v_jit, rtol=1e-6)
