@@ -117,13 +117,17 @@ class ShardedChainLoss:
     """
 
     def __init__(self, mesh: Mesh, den_graph, leaky_coefficient=1e-5,
-                 avg=True, impl: str = "auto"):
+                 avg=True, impl: str = "auto", tile_dtype=None):
         from ..graph import ChainGraphBatch
         self.mesh = mesh
         self.den_graph = den_graph
         self.leaky_coefficient = leaky_coefficient
         self.avg = avg
         self.impl = impl
+        # tile_dtype="bfloat16" + impl="pallas": the per-chip fast mode
+        # (see ChainLoss) — without it the sharded path silently runs
+        # the f32 parity kernels at roughly half the throughput.
+        self.tile_dtype = tile_dtype
         self._den_cache = {}
         self._ChainGraphBatch = ChainGraphBatch
         self._fn = self._build()
@@ -152,9 +156,14 @@ class ShardedChainLoss:
         batch size (the graph is shared, so the device-local batch is
         what the engine sees under shard_map)."""
         if batch_size not in self._den_cache:
-            self._den_cache[batch_size] = dispatch_arrays(
-                self._ChainGraphBatch(self.den_graph, batch_size),
-                self.impl)
+            # Built from host constants and cached: must never capture
+            # tracers if the first call happens under a caller's jit
+            # (same hazard as ChainLoss.den_batch).
+            with jax.ensure_compile_time_eval():
+                self._den_cache[batch_size] = dispatch_arrays(
+                    self._ChainGraphBatch(self.den_graph, batch_size,
+                                          tile_dtype=self.tile_dtype),
+                    self.impl)
         return self._den_cache[batch_size]
 
     def __call__(self, x, x_lengths, num_graphs):

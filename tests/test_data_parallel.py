@@ -109,3 +109,19 @@ def test_sharded_loss_unequal_lengths():
     ref = float(ChainLoss(den)(x, lengths, num_b))
     got = float(ShardedChainLoss(mesh, den)(x, lengths, num_b))
     assert abs(got - ref) < 1e-4 * max(1.0, abs(ref)), (got, ref)
+
+
+def test_sharded_loss_bf16_pallas_fast_mode():
+    """tile_dtype flows into the sharded denominator cache and the
+    pallas fast mode matches the f32 reference within the bf16 budget."""
+    den, num_b, x, lengths = _setup(seed=2)
+    mesh = make_mesh(n_mp=1)
+    ref = float(ChainLoss(den)(x, lengths, num_b))
+    sharded = ShardedChainLoss(mesh, den, impl="pallas",
+                               tile_dtype="bfloat16")
+    arrs = sharded.den_arrays(1)
+    from pychain_tpu.ops.factorized import FactorizedArrays
+    assert isinstance(arrs, FactorizedArrays)
+    assert str(arrs.w1.tiles.dtype) == "bfloat16"
+    got = float(sharded(x, lengths, num_b))
+    assert abs(got - ref) < 2e-2 * max(1.0, abs(ref)), (got, ref)
