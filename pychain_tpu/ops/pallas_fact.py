@@ -17,24 +17,29 @@ parity-grade engine (vs the reference CPU binary); this is the
 throughput engine.  Requires a fully factorized graph (no residual
 arcs) — see ``supports``.
 
-Work split per sweep:
+Work split per sweep (both kernels consume ONE raw px stream):
 
-* outside (XLA): the emission lookups ``x_dst[s] = px[f(s)]`` /
-  ``x_src[s] = px[g(s)]`` are shared-index row gathers fused into the
-  batch prep transpose — NOT in-kernel one-hot matmuls.  The E_f/E_g
-  one-hot contractions used to be ~160 small 128x128 MXU dots per scan
-  step (45% of the forward kernel's FLOPs and most of its serial
-  dependency chain); as XLA gathers they cost two memory passes per
-  batch.  Also outside: the objf reduction over alpha-sums.
-* fwd kernel: alpha recurrence over the streamed x_dst slices (x_src
-  is x_dst, E_h @ x_dst, or its own stream — ``FactorizedGraph.
-  xsrc_mode``); emits alpha-dash rows and alpha-sums,
+* outside (XLA): clip+exp and the (B, T, P) -> (T, P_eff, B) relayout
+  of the nnet output; the objf reduction over alpha-sums; the exact
+  {0,1} length-mask rows (see ``_length_masks``).
+* fwd kernel: ``x_dst = E_f @ px_t`` / ``x_src = E_g @ px_t`` as
+  one-hot tile dots on the otherwise-idle MXU (hidden under the
+  stream DMA — streaming pre-gathered emissions instead costs 2-3
+  extra full XLA memory passes per batch, and a second (T, S_pad, B)
+  stream for graphs with separate forward pdfs), then the alpha
+  recurrence; emits alpha-dash rows, alpha-sums, and alpha'(T_b).
 * bwd kernel: beta recurrence and the posteriors
   ``gamma = E_f^T c1 + E_g^T c2`` emitted directly (the transposed
   one-hot SCATTER stays on the MXU — it has no gather-direction
   equivalent), plus the alpha*beta / sum-gamma invariant traces.
   ``W1 @ alpha'`` is recomputed from the alpha stream rather than
-  streamed: the kernels are DMA-bound, the MXU is idle.
+  streamed.
+
+Length handling uses NO lane-varying selects (they serialise the
+Mosaic pipeline — docs/DESIGN.md): carries run unfrozen past each
+sequence's end (provably cancelled downstream) and the two genuine
+per-lane events (alpha'(T_b) capture, beta' injection) use exact
+multiply-add masking with precomputed {0,1} rows.
 """
 
 from __future__ import annotations
@@ -66,22 +71,23 @@ def fits_vmem(fa: FactorizedArrays, b_tile: int = 128) -> bool:
     """Estimate whether the kernels' scoped VMEM fits on-chip.
 
     The binding set is the BACKWARD kernel's residents: W1 (recomputes
-    W1 @ alpha'), W1^T, W2^T, E_f^T, E_g^T (+E_h in matrix mode), kept
-    in VMEM (bf16) for all T steps; Mosaic additionally charges ~1 f32
-    copy of each tile in register-spill slots for the unrolled tile
-    dots, plus ~24 live (s_pad, b_tile) f32 values.  Measured:
-    S_pad=3072 (196 tiles + two 1664x1536 dense blocks) fits with
-    ~20 MB headroom; S_pad=8064 (2562 resident tiles, no dense
-    promotion) needs ~250 MB and cannot fit in the 128 MB VMEM.
+    W1 @ alpha'), W1^T, W2^T, E_f, E_f^T, E_g^T (+E_g for graphs with
+    separate forward pdfs), kept in VMEM (bf16) for all T steps; Mosaic
+    additionally charges ~1 f32 copy of each tile in register-spill
+    slots for the unrolled tile dots, plus ~24 live (s_pad, b_tile) f32
+    values.  Measured: S_pad=3072 (196 tiles + two 1664x1536 dense
+    blocks) fits with headroom; S_pad=8064 (2562 resident tiles, no
+    dense promotion) needs ~250 MB and cannot fit in the 128 MB VMEM.
     Beyond the budget, dispatch falls back to the XLA factorized
     engine, which has no VMEM ceiling (weights re-stream from HBM per
     frame).
     """
     tiles = 0
     dense = 0
-    residents = [fa.w1, fa.w1, fa.w2, fa.e_f, fa.e_g]  # w1 counted for
-    if fa.e_h is not None:                             # w1 and w1t
-        residents.append(fa.e_h)
+    # w1 counted twice (w1 and w1t), e_f twice (e_f and e_ft)
+    residents = [fa.w1, fa.w1, fa.w2, fa.e_f, fa.e_f, fa.e_g]
+    if fa.xsrc_mode != "identity":
+        residents.append(fa.e_g)
     for w in residents:
         tiles += int(w.tiles.shape[0])
         if w.dense is not None:
@@ -187,34 +193,27 @@ class _WK:
 # Forward sweep
 # ----------------------------------------------------------------------
 
-def _xsrc_value(mode, eh, eh_refs, xdst, xsrc_ref, xsrc_scr):
-    """x_src per the graph's xsrc_mode: aliased to x_dst, derived from
-    it by the one-hot state map E_h (MXU work hidden under the stream
-    DMA), or read from its own gathered stream."""
-    if mode == "identity":
-        return xdst
-    if mode == "matrix":
-        eh.apply(eh_refs, xdst, xsrc_scr)
-        return xsrc_scr[:]
-    return xsrc_ref[0].astype(jnp.float32)
-
-
-def _fwd_kernel_factory(w1, w2, eh, mode, T, s_pad, b_tile, sd):
-    n = [w1.n_args, w2.n_args, eh.n_args if eh else 0]
+def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
+    # ef/eg: one-hot emission maps applied IN-KERNEL to the streamed
+    # raw px slice: x_dst = E_f @ px_t, x_src = x_dst (eg is None when
+    # g == f on W2's support) or E_g @ px_t.  The tile dots ride the
+    # otherwise-idle MXU underneath the stream DMA; streaming
+    # pre-gathered x_dst/x_src instead costs 2-3 extra full XLA memory
+    # passes per batch (measured 3.6 ms at the headline size) and, in
+    # "stream" mode, a whole second (T, S_pad, B) stream.
+    n = [w1.n_args, w2.n_args, ef.n_args, eg.n_args if eg else 0]
 
     def kernel(*refs):
         (lc_ref, m_ref, init_ref, leaky_ref) = refs[:4]
         o = 4
         w1_refs = refs[o:o + n[0]]; o += n[0]
         w2_refs = refs[o:o + n[1]]; o += n[1]
-        eh_refs = refs[o:o + n[2]]; o += n[2]
-        xdst_ref = refs[o]; o += 1
-        xsrc_ref = None
-        if mode == "stream":
-            xsrc_ref = refs[o]; o += 1
+        ef_refs = refs[o:o + n[2]]; o += n[2]
+        eg_refs = refs[o:o + n[3]]; o += n[3]
+        px_ref = refs[o]; o += 1
         ad_out, s_out, ad_last_out = refs[o:o + 3]
-        ad, acc, s_scr = refs[o + 3:o + 6]
-        xsrc_scr = refs[o + 6] if mode == "matrix" else None
+        ad, acc, s_scr, xdst_scr = refs[o + 3:o + 7]
+        xsrc_scr = refs[o + 7] if eg else None
 
         t = pl.program_id(1)
         leaky_c = lc_ref[0, 0]
@@ -228,8 +227,16 @@ def _fwd_kernel_factory(w1, w2, eh, mode, T, s_pad, b_tile, sd):
             s_scr[0, :] = jnp.full((b_tile,), s0, jnp.float32)
             ad_last_out[:] = jnp.broadcast_to(ad0, (s_pad, b_tile))
 
-        xdst = xdst_ref[0].astype(jnp.float32)            # (S_pad, Bt)
-        xsrc = _xsrc_value(mode, eh, eh_refs, xdst, xsrc_ref, xsrc_scr)
+        # no f32 cast of the px slice: the one-hot dots cast their
+        # operands to the MXU dtype themselves (E has no diag stratum)
+        px_t = px_ref[0]                                  # (P_eff, Bt)
+        ef.apply(ef_refs, px_t, xdst_scr)                 # x_dst = E_f px
+        xdst = xdst_scr[:]
+        if eg:
+            eg.apply(eg_refs, px_t, xsrc_scr)             # x_src = E_g px
+            xsrc = xsrc_scr[:]
+        else:
+            xsrc = xdst
 
         ad_v = ad[:]
         w1.apply(w1_refs, ad_v, acc)                      # acc = W1 @ ad
@@ -279,15 +286,15 @@ def _length_masks(lengths, T):
     return jnp.pad(rows, ((0, 0), (0, 6), (0, 0)))        # (T, 8, B)
 
 
-def _fwd_pallas(fa: FactorizedArrays, xdst_bf, xsrc_bf, masks,
+def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
                 leaky_coefficient, b_tile, mm, sd):
-    T, _, B = xdst_bf.shape
+    T, p_eff, B = px_tm.shape
     s_pad = fa.s_pad
     nb = B // b_tile
-    mode = fa.xsrc_mode
     w1, w2 = _WK(fa.w1, mm), _WK(fa.w2, mm)
-    eh = _WK(fa.e_h, mm) if mode == "matrix" else None
-    kernel = _fwd_kernel_factory(w1, w2, eh, mode, T, s_pad, b_tile, sd)
+    ef = _WK(fa.e_f, mm)
+    eg = None if fa.xsrc_mode == "identity" else _WK(fa.e_g, mm)
+    kernel = _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -297,15 +304,14 @@ def _fwd_pallas(fa: FactorizedArrays, xdst_bf, xsrc_bf, masks,
     w_spec = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim,
                                     memory_space=pltpu.VMEM)
 
-    wks = [w1, w2] + ([eh] if eh else [])
+    wks = [w1, w2, ef] + ([eg] if eg else [])
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
         stream(8),                                        # mask rows
         res_col(), res_col(),                             # init, leaky
         *[w_spec(a) for w in wks for a in w.arrays],
-        stream(s_pad),                                    # xdst
-        *([stream(s_pad)] if mode == "stream" else []),   # xsrc
+        stream(p_eff),                                    # px
     ]
     out_specs = [
         stream(s_pad),                                    # ad_ys
@@ -323,8 +329,9 @@ def _fwd_pallas(fa: FactorizedArrays, xdst_bf, xsrc_bf, masks,
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # ad carry
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # acc
         pltpu.VMEM((8, b_tile), jnp.float32),             # s carry
+        pltpu.VMEM((s_pad, b_tile), jnp.float32),         # x_dst
     ]
-    if mode == "matrix":
+    if eg:
         scratch.append(pltpu.VMEM((s_pad, b_tile), jnp.float32))  # xsrc
     return pl.pallas_call(
         kernel,
@@ -341,17 +348,17 @@ def _fwd_pallas(fa: FactorizedArrays, xdst_bf, xsrc_bf, masks,
       masks,
       fa.initial[:, None], fa.leaky[:, None],
       *[a for w in wks for a in w.arrays],
-      xdst_bf, *([xsrc_bf] if mode == "stream" else []))
+      px_tm)
 
 
 # ----------------------------------------------------------------------
 # Backward sweep
 # ----------------------------------------------------------------------
 
-def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T, s_pad,
+def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T, s_pad,
                         p_pad, b_tile, sd):
     n = [w1.n_args, w1t.n_args, w2t.n_args, eft.n_args, egt.n_args,
-         eh.n_args if eh else 0]
+         ef.n_args, eg.n_args if eg else 0]
 
     def kernel(*refs):
         (lc_ref, m_ref, tot_ref, init_ref, leaky_ref, final_ref,
@@ -362,15 +369,14 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T, s_pad,
         w2t_refs = refs[o:o + n[2]]; o += n[2]
         eft_refs = refs[o:o + n[3]]; o += n[3]
         egt_refs = refs[o:o + n[4]]; o += n[4]
-        eh_refs = refs[o:o + n[5]]; o += n[5]
+        ef_refs = refs[o:o + n[5]]; o += n[5]
+        eg_refs = refs[o:o + n[6]]; o += n[6]
         ad_prev_ref = refs[o]; o += 1
-        xdst_ref = refs[o]; o += 1
-        xsrc_ref = None
-        if mode == "stream":
-            xsrc_ref = refs[o]; o += 1
+        px_ref = refs[o]; o += 1
         gamma_out, ab_out, gs_out = refs[o:o + 3]
-        bd, acc, gacc, w1fwd_scr = refs[o + 3:o + 7]
-        xsrc_scr = refs[o + 7] if mode == "matrix" else None
+        o += 3
+        bd, acc, gacc, w1fwd_scr, xdst_scr = refs[o:o + 5]
+        xsrc_scr = refs[o + 5] if eg else None
 
         g = pl.program_id(1)
         u = T - 1 - g
@@ -383,8 +389,14 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T, s_pad,
         leaky_col = leaky_ref[:]
         final_col = final_ref[:]
 
-        xdst = xdst_ref[0].astype(jnp.float32)            # (S_pad, Bt)
-        xsrc = _xsrc_value(mode, eh, eh_refs, xdst, xsrc_ref, xsrc_scr)
+        px_t = px_ref[0]                                  # (P_eff, Bt)
+        ef.apply(ef_refs, px_t, xdst_scr)                 # x_dst = E_f px
+        xdst = xdst_scr[:]
+        if eg:
+            eg.apply(eg_refs, px_t, xsrc_scr)             # x_src = E_g px
+            xsrc = xsrc_scr[:]
+        else:
+            xsrc = xdst
 
         # alpha'(u): streamed ys block u-1, or rebuilt ad0 when u == 0
         init_col = init_ref[:]
@@ -436,18 +448,18 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T, s_pad,
     return kernel
 
 
-def _bwd_pallas(fa: FactorizedArrays, ad_ys, xdst_bf, xsrc_bf,
+def _bwd_pallas(fa: FactorizedArrays, ad_ys, px_tm,
                 s_all, masks, tot_prob, leaky_coefficient, b_tile, mm,
                 sd):
-    T, _, B = xdst_bf.shape
+    T, p_eff, B = px_tm.shape
     s_pad = fa.s_pad
     p_pad = fa.p_pad
     nb = B // b_tile
-    mode = fa.xsrc_mode
     w1, w1t, w2t = _WK(fa.w1, mm), _WK(fa.w1t, mm), _WK(fa.w2t, mm)
     eft, egt = _WK(fa.e_ft, mm), _WK(fa.e_gt, mm)
-    eh = _WK(fa.e_h, mm) if mode == "matrix" else None
-    kernel = _bwd_kernel_factory(w1, w1t, w2t, eft, egt, eh, mode, T,
+    ef = _WK(fa.e_f, mm)
+    eg = None if fa.xsrc_mode == "identity" else _WK(fa.e_g, mm)
+    kernel = _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T,
                                  s_pad, p_pad, b_tile, sd)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
@@ -464,7 +476,7 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, xdst_bf, xsrc_bf,
     brow = lambda: pl.BlockSpec((1, b_tile), lambda b, t: (0, b),
                                 memory_space=pltpu.VMEM)
 
-    wks = [w1, w1t, w2t, eft, egt] + ([eh] if eh else [])
+    wks = [w1, w1t, w2t, eft, egt, ef] + ([eg] if eg else [])
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
@@ -475,8 +487,7 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, xdst_bf, xsrc_bf,
                      memory_space=pltpu.VMEM),            # s_all
         *[w_spec(a) for w in wks for a in w.arrays],
         rev_shift,                                        # ad_ys (u-1)
-        rev(s_pad),                                       # xdst
-        *([rev(s_pad)] if mode == "stream" else []),      # xsrc
+        rev(p_eff),                                       # px
     ]
     out_specs = [
         rev(p_pad),                                       # gamma
@@ -495,8 +506,9 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, xdst_bf, xsrc_bf,
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # acc
         pltpu.VMEM((p_pad, b_tile), jnp.float32),         # gamma acc
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # W1 @ ad_u
+        pltpu.VMEM((s_pad, b_tile), jnp.float32),         # x_dst
     ]
-    if mode == "matrix":
+    if eg:
         scratch.append(pltpu.VMEM((s_pad, b_tile), jnp.float32))  # xsrc
     return pl.pallas_call(
         kernel,
@@ -514,7 +526,7 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, xdst_bf, xsrc_bf,
       tot_prob.reshape(1, B).astype(jnp.float32),
       fa.initial[:, None], fa.leaky[:, None], fa.final[:, None],
       s_all, *[a for w in wks for a in w.arrays],
-      ad_ys, xdst_bf, *([xsrc_bf] if mode == "stream" else []))
+      ad_ys, px_tm)
 
 
 # ----------------------------------------------------------------------
@@ -547,21 +559,21 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
         mm = jnp.dtype(fa.w1.dense.dtype)
     sd = BF if mm == BF else jnp.float32
 
-    # Emission lookups as XLA shared-index row gathers fused into the
-    # prep transpose: x_dst[s] = px[f(s)], x_src[s] = px[g(s)].  The
-    # in-kernel one-hot alternative costs ~160 small MXU dots per step.
-    # x_src usually needs no stream of its own (fa.xsrc_mode).
-    xdst_bf = jnp.transpose(jnp.take(px, fa.f_dst, axis=2),
-                            (1, 2, 0)).astype(sd)         # (T, S_pad, B)
-    xsrc_bf = None
-    if fa.xsrc_mode == "stream":
-        xsrc_bf = jnp.transpose(jnp.take(px, fa.g_src, axis=2),
-                                (1, 2, 0)).astype(sd)
+    # ONE raw-emission stream for both sweeps: px time-major, padded to
+    # the E matrices' column space.  The emission lookups x_dst/x_src
+    # happen IN-KERNEL as one-hot E tile dots on the otherwise-idle MXU
+    # (hidden under the stream DMA) — pre-gathered x_dst/x_src streams
+    # cost 2-3 extra full XLA memory passes per batch and, for graphs
+    # with separate forward pdfs, a second (T, S_pad, B) stream.
+    p_eff = max(-(-P // 128) * 128, fa.p_pad)
+    px_tm = jnp.transpose(px, (1, 2, 0)).astype(sd)       # (T, P, B)
+    if p_eff != P:
+        px_tm = jnp.pad(px_tm, ((0, 0), (0, p_eff - P), (0, 0)))
 
     masks = _length_masks(lengths, T)
 
     ad_ys, s_ys8, ad_last = _fwd_pallas(
-        fa, xdst_bf, xsrc_bf, masks, leaky_coefficient, b_tile, mm, sd)
+        fa, px_tm, masks, leaky_coefficient, b_tile, mm, sd)
     s_ys = s_ys8[:, 0, :]                                 # (T, B)
 
     s0 = jnp.full((B,), fa.initial.sum(), px.dtype)
@@ -575,7 +587,7 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     objf = loglike + jnp.log(tot_prob)
 
     gamma_ys, ab8, gs8 = _bwd_pallas(
-        fa, ad_ys, xdst_bf, xsrc_bf, s_all, masks, tot_prob,
+        fa, ad_ys, px_tm, s_all, masks, tot_prob,
         leaky_coefficient, b_tile, mm, sd)
 
     # compact posterior: exactly (T, P, B) in the kernel's storage dtype
