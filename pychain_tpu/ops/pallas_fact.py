@@ -84,10 +84,11 @@ def fits_vmem(fa: FactorizedArrays, b_tile: int = 128) -> bool:
     """
     tiles = 0
     dense = 0
-    # w1 counted twice (w1 and w1t), e_f twice (e_f and e_ft)
-    residents = [fa.w1, fa.w1, fa.w2, fa.e_f, fa.e_f, fa.e_g]
+    # w1 counted twice (w1 and w1t), e_f twice (e_f and e_ft); identity
+    # mode needs no E_g at all (x_src = x_dst, E_g^T merged into E_f^T)
+    residents = [fa.w1, fa.w1, fa.w2, fa.e_f, fa.e_f]
     if fa.xsrc_mode != "identity":
-        residents.append(fa.e_g)
+        residents += [fa.e_g, fa.e_g]
     for w in residents:
         tiles += int(w.tiles.shape[0])
         if w.dense is not None:
@@ -357,8 +358,8 @@ def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
 
 def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T, s_pad,
                         p_pad, b_tile, sd):
-    n = [w1.n_args, w1t.n_args, w2t.n_args, eft.n_args, egt.n_args,
-         ef.n_args, eg.n_args if eg else 0]
+    n = [w1.n_args, w1t.n_args, w2t.n_args, eft.n_args,
+         egt.n_args if egt else 0, ef.n_args, eg.n_args if eg else 0]
 
     def kernel(*refs):
         (lc_ref, m_ref, tot_ref, init_ref, leaky_ref, final_ref,
@@ -436,8 +437,14 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T, s_pad,
         # (S_pad, Bt) masses.
         c1 = xb * w1fwd_scr[:]
         c2 = xsrc * ad_u * w2term
-        eft.apply(eft_refs, c1, gacc)                     # E_f^T c1
-        egt.apply(egt_refs, c2, gacc, accumulate=True)    # += E_g^T c2
+        if eg is None:
+            # identity mode: g == f on W2's support and c2 is zero off
+            # that support (w2term = W2^T b vanishes there), so ONE
+            # E_f^T scatter of the combined mass replaces both
+            eft.apply(eft_refs, c1 + c2, gacc)            # E_f^T (c1+c2)
+        else:
+            eft.apply(eft_refs, c1, gacc)                 # E_f^T c1
+            egt.apply(egt_refs, c2, gacc, accumulate=True)  # += E_g^T c2
         gamma_t = gacc[:] * inv
         gamma_out[0] = gamma_t.astype(sd)
         gs_out[0, 0, :] = jnp.sum(gacc[:], axis=0) * inv[0]
@@ -456,9 +463,11 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, px_tm,
     p_pad = fa.p_pad
     nb = B // b_tile
     w1, w1t, w2t = _WK(fa.w1, mm), _WK(fa.w1t, mm), _WK(fa.w2t, mm)
-    eft, egt = _WK(fa.e_ft, mm), _WK(fa.e_gt, mm)
+    eft = _WK(fa.e_ft, mm)
     ef = _WK(fa.e_f, mm)
-    eg = None if fa.xsrc_mode == "identity" else _WK(fa.e_g, mm)
+    identity = fa.xsrc_mode == "identity"
+    egt = None if identity else _WK(fa.e_gt, mm)
+    eg = None if identity else _WK(fa.e_g, mm)
     kernel = _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T,
                                  s_pad, p_pad, b_tile, sd)
 
@@ -476,7 +485,8 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, px_tm,
     brow = lambda: pl.BlockSpec((1, b_tile), lambda b, t: (0, b),
                                 memory_space=pltpu.VMEM)
 
-    wks = [w1, w1t, w2t, eft, egt, ef] + ([eg] if eg else [])
+    wks = [w1, w1t, w2t, eft] + ([egt] if egt else []) + [ef] \
+        + ([eg] if eg else [])
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
