@@ -96,11 +96,10 @@ class FactorizedGraph:
     # second emission gather (see ops/pallas_fact.py):
     #   "identity": g == f on W2's support, so x_src = x_dst,
     #   "matrix":   x_src = E_h @ x_dst for the one-hot state->state
-    #               map h with f(h(s)) = g(s) (``e_h`` below),
+    #               map h with f(h(s)) = g(s),
     #   "stream":   some g pdf is unreachable through f; x_src must be
     #               gathered/streamed separately.
     xsrc_mode: str = "stream"
-    e_h: WParts | None = None
 
     @property
     def num_tiles(self) -> int:
@@ -249,11 +248,12 @@ def factorize(graph: CompiledGraph) -> FactorizedGraph:
     f_new[:S] = f[perm]
     g_new[:S] = g[perm]
 
-    # x_src-from-x_dst map: a (new-numbered) state h(s) with
-    # f(h(s)) == g(s), for every state s where g is defined.  When it
-    # exists the kernels never need a second emission stream.
+    # Emission-attachment structure.  "identity" (g == f wherever g is
+    # defined, i.e. on W2's support) lets the kernels alias
+    # x_src = x_dst and merge the two gamma scatters into one E_f^T.
+    # The "matrix"/"stream" labels record how g relates to f for
+    # diagnostics; both compute x_src = E_g @ px in-kernel.
     xsrc_mode = "stream"
-    e_h = None
     g_def = np.nonzero(g_raw[perm] >= 0)[0]            # new ids, < S
     if len(g_def) == 0:
         xsrc_mode = "identity"
@@ -271,9 +271,6 @@ def factorize(graph: CompiledGraph) -> FactorizedGraph:
                 xsrc_mode = "identity"
             else:
                 xsrc_mode = "matrix"
-                e_h = _build_wparts(g_def.copy(), h,
-                                    np.ones(len(g_def), np.float32),
-                                    s_pad)
 
     m1 = cls == 1
     m2 = cls == 2
@@ -308,7 +305,6 @@ def factorize(graph: CompiledGraph) -> FactorizedGraph:
         res_pdf=pdf[m0].astype(np.int32),
         res_prob=probs[m0],
         xsrc_mode=xsrc_mode,
-        e_h=e_h,
     )
 
 

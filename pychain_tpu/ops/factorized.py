@@ -72,12 +72,13 @@ class FactorizedArrays:
     # "pallas" (fused VMEM-resident kernels, bf16 fast mode)
     engine: str = dataclasses.field(default="xla",
                                     metadata=dict(static=True))
-    # how the Pallas kernels obtain x_src from the x_dst stream:
-    # "identity" (x_src = x_dst), "matrix" (x_src = E_h @ x_dst), or
-    # "stream" (separate gathered stream)
+    # emission-attachment structure: "identity" means g == f on W2's
+    # support (x_src = x_dst; the Pallas backward merges the two gamma
+    # scatters into one E_f^T).  Non-identity modes ("matrix"/"stream",
+    # kept as diagnostics of how g relates to f) all compute
+    # x_src = E_g @ px in-kernel.
     xsrc_mode: str = dataclasses.field(default="stream",
                                        metadata=dict(static=True))
-    e_h: Optional[WArrays] = None
 
     @property
     def s_pad(self) -> int:
@@ -142,7 +143,6 @@ def from_factorized_graph(fg, initial, final, leaky,
         res_src=jnp.asarray(fg.res_src), res_dst=jnp.asarray(fg.res_dst),
         res_pdf=jnp.asarray(fg.res_pdf), res_prob=jnp.asarray(fg.res_prob),
         xsrc_mode=fg.xsrc_mode,
-        e_h=None if fg.e_h is None else _w_arrays(fg.e_h, one, fg.s_pad),
     )
 
 
@@ -218,7 +218,10 @@ def forward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
         ad_prev, s_prev, loglike, ad_last = carry
         px_t, t = xs
         x_dst = _apply_w(fa.e_f, px_t, prec)              # (S_pad, B)
-        x_src = _apply_w(fa.e_g, px_t, prec)
+        # identity mode: g == f on W2's support, and W2 zeroes the
+        # off-support columns, so x_dst serves as x_src
+        x_src = (x_dst if fa.xsrc_mode == "identity"
+                 else _apply_w(fa.e_g, px_t, prec))
         a = x_dst * _apply_w(fa.w1, ad_prev, prec)
         a = a + _apply_w(fa.w2, x_src * ad_prev, prec)
         a = a + _residual_fwd(fa, ad_prev, px_t)
@@ -270,7 +273,8 @@ def backward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
         b_next = bd_eff + leaky_coefficient * (
             (bd_eff * leaky).sum(axis=0, keepdims=True))
         x_dst = _apply_w(fa.e_f, px_t, prec)
-        x_src = _apply_w(fa.e_g, px_t, prec)
+        x_src = (x_dst if fa.xsrc_mode == "identity"
+                 else _apply_w(fa.e_g, px_t, prec))
         inv_s = 1.0 / s_t[None, :]
 
         xb = x_dst * b_next                                 # (S_pad, B)
@@ -278,11 +282,17 @@ def backward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
         w2t_term = _apply_w(fa.w2t, b_next, prec)
         bd_t = (w1t_term + x_src * w2t_term) * inv_s
 
-        # posteriors: pdf-attachment scatters as transposed E matmuls
+        # posteriors: pdf-attachment scatters as transposed E matmuls.
+        # In identity mode c2 is zero off W2's support where g == f, so
+        # one E_f^T scatter of the combined mass replaces the pair.
         w1_fwd = _apply_w(fa.w1, ad_t, prec)
         c1 = xb * w1_fwd * inv_s                            # per-dst mass
         c2 = x_src * ad_t * w2t_term * inv_s                # per-src mass
-        gamma_t = _apply_w(fa.e_ft, c1, prec) + _apply_w(fa.e_gt, c2, prec)
+        if fa.xsrc_mode == "identity":
+            gamma_t = _apply_w(fa.e_ft, c1 + c2, prec)
+        else:
+            gamma_t = _apply_w(fa.e_ft, c1, prec) \
+                + _apply_w(fa.e_gt, c2, prec)
 
         if fa.res_src.shape[0] > 0:
             vf = (fa.res_prob[:, None]
