@@ -324,8 +324,9 @@ class ChainLoss:
         # bf16 transition tiles/streams at native MXU rate (~0.4%
         # relative quantisation).  The default keeps float32 parity-
         # grade numerics; without this knob ChainLoss users could never
-        # reach the benched fast path (f32 tiles select the 3-pass MXU
-        # parity kernels, roughly half the speed and twice the DMA).
+        # reach the benched fast path (f32 tiles select the parity
+        # kernels: 6-pass HIGHEST-precision MXU dots in Pallas, and
+        # double the stream DMA).
         self.tile_dtype = tile_dtype
         self._den_batches = {}  # batch_size -> ChainGraphBatch cache
         # One jitted function for the module's lifetime: eager op-by-op

@@ -319,16 +319,27 @@ def backward_prob_fact(px_tm, lengths, fa: FactorizedArrays,
     return gamma_tm, alpha_beta, gamma_sum
 
 
+def px_time_major(px, fa: FactorizedArrays, dtype=None):
+    """(B, T, P) -> (T, P_eff, B), pdf axis zero-padded to a lane
+    multiple covering the graph's E matrices.  Shared by the XLA and
+    Pallas engines so the lane-padding rule cannot drift between them.
+    """
+    B, T, P = px.shape
+    p_eff = max(-(-P // 128) * 128, fa.p_pad)
+    px_tm = jnp.transpose(px, (1, 2, 0))                    # (T, P, B)
+    if dtype is not None:
+        px_tm = px_tm.astype(dtype)
+    if p_eff != P:
+        px_tm = jnp.pad(px_tm, ((0, 0), (0, p_eff - P), (0, 0)))
+    return px_tm
+
+
 def forward_backward_prob_fact(px, lengths, fa: FactorizedArrays,
                                leaky_coefficient=1e-5) -> FwdBwdResult:
     """Fused fwd+bwd on the factorized graph.  px: (B, T, P) exp'd
     output; gamma is returned in (B, T, P)."""
     B, T, P = px.shape
-    # pad pdf space to a lane multiple covering the graph's E matrices
-    p_eff = max(-(-P // 128) * 128, fa.p_pad)
-    px_tm = jnp.transpose(px, (1, 2, 0))                    # (T, P, B)
-    if p_eff != P:
-        px_tm = jnp.pad(px_tm, ((0, 0), (0, p_eff - P), (0, 0)))
+    px_tm = px_time_major(px, fa)
     alpha_dash, alpha_sums, objf, tot_prob = forward_prob_fact(
         px_tm, lengths, fa, leaky_coefficient)
     gamma_tm, alpha_beta, gamma_sum = backward_prob_fact(

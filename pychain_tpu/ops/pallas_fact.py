@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .factorized import FactorizedArrays, WArrays
+from .factorized import FactorizedArrays, WArrays, px_time_major
 from .fwdbwd import FwdBwdResult, _ok_flags
 
 BF = jnp.bfloat16
@@ -575,10 +575,7 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     # (hidden under the stream DMA) — pre-gathered x_dst/x_src streams
     # cost 2-3 extra full XLA memory passes per batch and, for graphs
     # with separate forward pdfs, a second (T, S_pad, B) stream.
-    p_eff = max(-(-P // 128) * 128, fa.p_pad)
-    px_tm = jnp.transpose(px, (1, 2, 0)).astype(sd)       # (T, P, B)
-    if p_eff != P:
-        px_tm = jnp.pad(px_tm, ((0, 0), (0, p_eff - P), (0, 0)))
+    px_tm = px_time_major(px, fa, dtype=sd)               # (T, P_eff, B)
 
     masks = _length_masks(lengths, T)
 
