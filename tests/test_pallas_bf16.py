@@ -129,6 +129,6 @@ def test_pallas_bf16_on_tpu_hardware():
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     proc = subprocess.run(
         [sys.executable, "-c", _TPU_SNIPPET.format(repo=repo)],
-        capture_output=True, text=True, timeout=540, env=env)
+        capture_output=True, text=True, timeout=1500, env=env)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "TPU-BF16-PARITY-OK" in proc.stdout
