@@ -17,23 +17,27 @@ parity-grade engine (vs the reference CPU binary); this is the
 throughput engine.  Requires a fully factorized graph (no residual
 arcs) — see ``supports``.
 
-Work split per sweep (both kernels consume ONE raw px stream):
+Work split per sweep:
 
 * outside (XLA): clip+exp and the (B, T, P) -> (T, P_eff, B) relayout
   of the nnet output; the objf reduction over alpha-sums; the exact
-  {0,1} length-mask rows (see ``_length_masks``).
-* fwd kernel: ``x_dst = E_f @ px_t`` / ``x_src = E_g @ px_t`` as
-  one-hot tile dots on the otherwise-idle MXU (hidden under the
-  stream DMA — streaming pre-gathered emissions instead costs 2-3
-  extra full XLA memory passes per batch, and a second (T, S_pad, B)
-  stream for graphs with separate forward pdfs), then the alpha
-  recurrence; emits alpha-dash rows, alpha-sums, and alpha'(T_b).
+  {0,1} length-mask rows (see ``_length_masks``); the step-independent
+  ``final/tot`` row the bwd injection uses.
+* fwd kernel (consumes the ONE raw px stream): ``x_dst = E_f @ px_t``
+  / ``x_src = E_g @ px_t`` as one-hot tile dots (streaming
+  pre-gathered emissions instead costs 2-3 extra full XLA memory
+  passes per batch), then the alpha recurrence; emits alpha-dash
+  rows, alpha-sums, alpha'(T_b), AND the two quantities the bwd sweep
+  would otherwise recompute: ``W1 @ alpha'`` and x_dst (x_src).
 * bwd kernel: beta recurrence and the posteriors
   ``gamma = E_f^T c1 + E_g^T c2`` emitted directly (the transposed
   one-hot SCATTER stays on the MXU — it has no gather-direction
   equivalent), plus the alpha*beta / sum-gamma invariant traces.
-  ``W1 @ alpha'`` is recomputed from the alpha stream rather than
-  streamed.
+  Both sweeps are MXU-bound after round 2's select fix, so the bwd
+  reads ``W1 @ alpha'(u)`` and the emission rows as STREAMS from the
+  fwd sweep (spare DMA) instead of recomputing them (serial MXU) —
+  the reverse of the round-2 trade, and measured: bwd 14.4 -> 10.0
+  us/step with the fwd unchanged at 9.1.
 
 Length handling uses NO lane-varying selects (they serialise the
 Mosaic pipeline — docs/DESIGN.md): carries run unfrozen past each
@@ -70,30 +74,27 @@ def supports(fa: FactorizedArrays) -> bool:
 def fits_vmem(fa: FactorizedArrays, b_tile: int = 128) -> bool:
     """Estimate whether the kernels' scoped VMEM fits on-chip.
 
-    The binding set is the BACKWARD kernel's residents: W1 (recomputes
-    W1 @ alpha'), W1^T, W2^T, E_f, E_f^T, E_g^T (+E_g for graphs with
-    separate forward pdfs), kept in VMEM (bf16) for all T steps; Mosaic
-    additionally charges ~1 f32 copy of each tile in register-spill
-    slots for the unrolled tile dots, plus ~24 live (s_pad, b_tile) f32
-    values.  Measured: S_pad=3072 (196 tiles + two 1664x1536 dense
-    blocks) fits with headroom; S_pad=8064 (2562 resident tiles, no
-    dense promotion) needs ~250 MB and cannot fit in the 128 MB VMEM.
-    Beyond the budget, dispatch falls back to the XLA factorized
-    engine, which has no VMEM ceiling (weights re-stream from HBM per
-    frame).
+    Since the bwd kernel's recomputes became fwd-emitted streams, each
+    sweep holds only its own operands: fwd = {W1, W2, E_f (+E_g)},
+    bwd = {W1^T, W2^T, E_f^T (+E_g^T)} — near-mirror sets, so either
+    bounds the estimate.  Mosaic additionally charges ~1 f32 copy of
+    every tile in register-spill slots for the unrolled tile dots,
+    plus ~24 live (s_pad, b_tile) f32 values (carries, accumulators,
+    double-buffered stream blocks).  Beyond the budget, dispatch falls
+    back to the XLA factorized engine, which has no VMEM ceiling
+    (weights re-stream from HBM per frame).
     """
-    tiles = 0
-    dense = 0
-    # w1 counted twice (w1 and w1t), e_f twice (e_f and e_ft); identity
-    # mode needs no E_g at all (x_src = x_dst, E_g^T merged into E_f^T)
-    residents = [fa.w1, fa.w1, fa.w2, fa.e_f, fa.e_f]
+    def _side(ws):
+        tiles = sum(int(w.tiles.shape[0]) for w in ws)
+        dense = sum(int(w.dense.shape[0]) * int(w.dense.shape[1])
+                    for w in ws if w.dense is not None)
+        return tiles * 128 * 128 * 6 + dense * 3
+    fwd_ws = [fa.w1, fa.w2, fa.e_f]
+    bwd_ws = [fa.w1t, fa.w2t, fa.e_ft]
     if fa.xsrc_mode != "identity":
-        residents += [fa.e_g, fa.e_g]
-    for w in residents:
-        tiles += int(w.tiles.shape[0])
-        if w.dense is not None:
-            dense += int(w.dense.shape[0]) * int(w.dense.shape[1])
-    est = tiles * 128 * 128 * 6 + dense * 3 \
+        fwd_ws.append(fa.e_g)
+        bwd_ws.append(fa.e_gt)
+    est = max(_side(fwd_ws), _side(bwd_ws)) \
         + 24 * fa.s_pad * b_tile * 4
     return est <= 90 * 1024 * 1024
 
@@ -202,6 +203,13 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
     # pre-gathered x_dst/x_src instead costs 2-3 extra full XLA memory
     # passes per batch (measured 3.6 ms at the headline size) and, in
     # "stream" mode, a whole second (T, S_pad, B) stream.
+    #
+    # Besides the recurrence outputs, the kernel emits the two
+    # quantities the BACKWARD sweep would otherwise recompute on its
+    # (MXU-bound) critical path: ``W1 @ alpha'(t)`` and the emission
+    # rows x_dst (x_src).  Streaming them costs this kernel only spare
+    # DMA bandwidth; recomputing them in the bwd kernel costs ~5 us of
+    # serial MXU work per step (see docs/DESIGN.md round-3 notes).
     n = [w1.n_args, w2.n_args, ef.n_args, eg.n_args if eg else 0]
 
     def kernel(*refs):
@@ -212,9 +220,12 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
         ef_refs = refs[o:o + n[2]]; o += n[2]
         eg_refs = refs[o:o + n[3]]; o += n[3]
         px_ref = refs[o]; o += 1
-        ad_out, s_out, ad_last_out = refs[o:o + 3]
-        ad, acc, s_scr, xdst_scr = refs[o + 3:o + 7]
-        xsrc_scr = refs[o + 7] if eg else None
+        (ad_out, s_out, ad_last_out, w1ad_out, xdst_out) = refs[o:o + 5]
+        o += 5
+        xsrc_out = refs[o] if eg else None
+        o += 1 if eg else 0
+        ad, acc, s_scr, xdst_scr = refs[o:o + 4]
+        xsrc_scr = refs[o + 4] if eg else None
 
         t = pl.program_id(1)
         leaky_c = lc_ref[0, 0]
@@ -233,15 +244,19 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
         px_t = px_ref[0]                                  # (P_eff, Bt)
         ef.apply(ef_refs, px_t, xdst_scr)                 # x_dst = E_f px
         xdst = xdst_scr[:]
+        xdst_out[0] = xdst.astype(sd)
         if eg:
             eg.apply(eg_refs, px_t, xsrc_scr)             # x_src = E_g px
             xsrc = xsrc_scr[:]
+            xsrc_out[0] = xsrc.astype(sd)
         else:
             xsrc = xdst
 
         ad_v = ad[:]
         w1.apply(w1_refs, ad_v, acc)                      # acc = W1 @ ad
-        a_part = xdst * acc[:]
+        w1ad = acc[:]
+        w1ad_out[0] = w1ad.astype(sd)
+        a_part = xdst * w1ad
         w2.apply(w2_refs, xsrc * ad_v, acc)               # acc = W2 @ u
         # reciprocal once on a (1, Bt) row; a full-matrix divide costs
         # several times a multiply on the VPU
@@ -320,12 +335,19 @@ def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
                      memory_space=pltpu.VMEM),            # s_ys
         pl.BlockSpec((s_pad, b_tile), lambda b, t: (0, b),
                      memory_space=pltpu.VMEM),            # ad_last
+        stream(s_pad),                                    # W1 @ alpha'
+        stream(s_pad),                                    # x_dst
     ]
     out_shape = [
         jax.ShapeDtypeStruct((T, s_pad, B), sd),
         jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
         jax.ShapeDtypeStruct((s_pad, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, s_pad, B), sd),
+        jax.ShapeDtypeStruct((T, s_pad, B), sd),
     ]
+    if eg:
+        out_specs.append(stream(s_pad))                   # x_src
+        out_shape.append(jax.ShapeDtypeStruct((T, s_pad, B), sd))
     scratch = [
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # ad carry
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # acc
@@ -356,28 +378,35 @@ def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
 # Backward sweep
 # ----------------------------------------------------------------------
 
-def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T, s_pad,
+def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
                         p_pad, b_tile, sd):
-    n = [w1.n_args, w1t.n_args, w2t.n_args, eft.n_args,
-         egt.n_args if egt else 0, ef.n_args, eg.n_args if eg else 0]
+    # The bwd kernel is MXU-BOUND (w1t dense + w2t + eft scatter tiles
+    # already sum to ~6 us/step of peak-MXU work at the headline size).
+    # Everything the fwd sweep already computed therefore arrives as a
+    # STREAM instead of being recomputed: x_dst/x_src (in round 2 these
+    # were in-kernel E_f/E_g dots) and ``W1 @ alpha'(u)`` (a dense-block
+    # recompute).  Streams cost spare DMA bandwidth; recomputes cost
+    # serial MXU time.  This also evicts W1 and E_f from the kernel's
+    # VMEM residents, roughly halving the bwd footprint (the fwd kernel
+    # is now the fits_vmem binding set).
+    n = [w1t.n_args, w2t.n_args, eft.n_args, egt.n_args if egt else 0]
 
     def kernel(*refs):
-        (lc_ref, m_ref, tot_ref, init_ref, leaky_ref, final_ref,
-         s_all_ref) = refs[:7]
-        o = 7
-        w1_refs = refs[o:o + n[0]]; o += n[0]
-        w1t_refs = refs[o:o + n[1]]; o += n[1]
-        w2t_refs = refs[o:o + n[2]]; o += n[2]
-        eft_refs = refs[o:o + n[3]]; o += n[3]
-        egt_refs = refs[o:o + n[4]]; o += n[4]
-        ef_refs = refs[o:o + n[5]]; o += n[5]
-        eg_refs = refs[o:o + n[6]]; o += n[6]
+        (lc_ref, m_ref, bdfin_ref, init_ref, leaky_ref,
+         s_all_ref) = refs[:6]
+        o = 6
+        w1t_refs = refs[o:o + n[0]]; o += n[0]
+        w2t_refs = refs[o:o + n[1]]; o += n[1]
+        eft_refs = refs[o:o + n[2]]; o += n[2]
+        egt_refs = refs[o:o + n[3]]; o += n[3]
         ad_prev_ref = refs[o]; o += 1
-        px_ref = refs[o]; o += 1
+        w1ad_ref = refs[o]; o += 1
+        xdst_ref = refs[o]; o += 1
+        xsrc_ref = refs[o] if not identity else None
+        o += 0 if identity else 1
         gamma_out, ab_out, gs_out = refs[o:o + 3]
         o += 3
-        bd, acc, gacc, w1fwd_scr, xdst_scr = refs[o:o + 5]
-        xsrc_scr = refs[o + 5] if eg else None
+        bd, acc, gacc = refs[o:o + 3]
 
         g = pl.program_id(1)
         u = T - 1 - g
@@ -388,16 +417,10 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T, s_pad,
             bd[:] = jnp.zeros((s_pad, b_tile), jnp.float32)
 
         leaky_col = leaky_ref[:]
-        final_col = final_ref[:]
 
-        px_t = px_ref[0]                                  # (P_eff, Bt)
-        ef.apply(ef_refs, px_t, xdst_scr)                 # x_dst = E_f px
-        xdst = xdst_scr[:]
-        if eg:
-            eg.apply(eg_refs, px_t, xsrc_scr)             # x_src = E_g px
-            xsrc = xsrc_scr[:]
-        else:
-            xsrc = xdst
+        xdst = xdst_ref[0].astype(jnp.float32)            # (S_pad, Bt)
+        xsrc = xsrc_ref[0].astype(jnp.float32) if xsrc_ref is not None \
+            else xdst
 
         # alpha'(u): streamed ys block u-1, or rebuilt ad0 when u == 0
         init_col = init_ref[:]
@@ -414,14 +437,14 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T, s_pad,
         # gamma, alpha*beta and the carried beta' are all exactly 0.
         eq = m_ref[0, 0:1, :]                             # (1, Bt)
         neq = m_ref[0, 1:2, :]
-        bd_fin = final_col / tot_ref[0, :][None, :]
-        bd_eff = bd[:] * neq + bd_fin * eq
+        # bd_fin = final/tot is step-independent: precomputed outside
+        # (one XLA pass per batch vs a full-matrix divide per step)
+        bd_eff = bd[:] * neq + bdfin_ref[:] * eq
         b_next = bd_eff + leaky_c * jnp.sum(
             bd_eff * leaky_col, axis=0, keepdims=True)
 
-        # W1 @ alpha'(u): recomputed from the ad stream (the MXU idles
-        # under the DMA) instead of a third (T, S_pad, B) stream
-        w1.apply(w1_refs, ad_u, w1fwd_scr)
+        # W1 @ alpha'(u): streamed from the fwd sweep
+        w1fwd = w1ad_ref[0].astype(jnp.float32)
         s_u = s_all_ref[pl.ds(u, 1), :]                   # (1, b_tile)
         inv = 1.0 / s_u
 
@@ -429,15 +452,15 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T, s_pad,
         w1t.apply(w1t_refs, xb, acc)                      # W1^T @ xb
         bd_part = acc[:]
         w2t.apply(w2t_refs, b_next, acc)                  # W2^T @ b_next
-        w2term = acc[:]
-        bd_t = (bd_part + xsrc * w2term) * inv
+        sw = xsrc * acc[:]            # x_src ⊙ W2^T b: shared by bd & c2
+        bd_t = (bd_part + sw) * inv
 
         # inv scaling commutes with the linear E^T scatters: apply it
         # once to gamma (a per-column scalar) instead of to both
         # (S_pad, Bt) masses.
-        c1 = xb * w1fwd_scr[:]
-        c2 = xsrc * ad_u * w2term
-        if eg is None:
+        c1 = xb * w1fwd
+        c2 = sw * ad_u
+        if identity:
             # identity mode: g == f on W2's support and c2 is zero off
             # that support (w2term = W2^T b vanishes there), so ONE
             # E_f^T scatter of the combined mass replaces both
@@ -455,20 +478,18 @@ def _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T, s_pad,
     return kernel
 
 
-def _bwd_pallas(fa: FactorizedArrays, ad_ys, px_tm,
+def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
                 s_all, masks, tot_prob, leaky_coefficient, b_tile, mm,
                 sd):
-    T, p_eff, B = px_tm.shape
+    T, _, B = ad_ys.shape
     s_pad = fa.s_pad
     p_pad = fa.p_pad
     nb = B // b_tile
-    w1, w1t, w2t = _WK(fa.w1, mm), _WK(fa.w1t, mm), _WK(fa.w2t, mm)
+    w1t, w2t = _WK(fa.w1t, mm), _WK(fa.w2t, mm)
     eft = _WK(fa.e_ft, mm)
-    ef = _WK(fa.e_f, mm)
     identity = fa.xsrc_mode == "identity"
     egt = None if identity else _WK(fa.e_gt, mm)
-    eg = None if identity else _WK(fa.e_g, mm)
-    kernel = _bwd_kernel_factory(w1, w1t, w2t, eft, egt, ef, eg, T,
+    kernel = _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T,
                                  s_pad, p_pad, b_tile, sd)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
@@ -482,23 +503,24 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, px_tm,
         memory_space=pltpu.VMEM)
     w_spec = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim,
                                     memory_space=pltpu.VMEM)
-    brow = lambda: pl.BlockSpec((1, b_tile), lambda b, t: (0, b),
-                                memory_space=pltpu.VMEM)
 
-    wks = [w1, w1t, w2t, eft] + ([egt] if egt else []) + [ef] \
-        + ([eg] if eg else [])
+    wks = [w1t, w2t, eft] + ([egt] if egt else [])
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
         rev(8),                                           # mask rows (u)
-        brow(),                                           # tot
-        res_col(), res_col(), res_col(),                  # init, leaky, final
+        pl.BlockSpec((s_pad, b_tile), lambda b, t: (0, b),
+                     memory_space=pltpu.VMEM),            # bd_fin
+        res_col(), res_col(),                             # init, leaky
         pl.BlockSpec((T + 1, b_tile), lambda b, t: (0, b),
                      memory_space=pltpu.VMEM),            # s_all
         *[w_spec(a) for w in wks for a in w.arrays],
         rev_shift,                                        # ad_ys (u-1)
-        rev(p_eff),                                       # px
+        rev(s_pad),                                       # W1 @ alpha'(u)
+        rev(s_pad),                                       # x_dst(u)
     ]
+    if not identity:
+        in_specs.append(rev(s_pad))                       # x_src(u)
     out_specs = [
         rev(p_pad),                                       # gamma
         pl.BlockSpec((1, 8, b_tile), lambda b, t: (T - 1 - t, 0, b),
@@ -515,11 +537,10 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, px_tm,
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # bd carry
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # acc
         pltpu.VMEM((p_pad, b_tile), jnp.float32),         # gamma acc
-        pltpu.VMEM((s_pad, b_tile), jnp.float32),         # W1 @ ad_u
-        pltpu.VMEM((s_pad, b_tile), jnp.float32),         # x_dst
     ]
-    if eg:
-        scratch.append(pltpu.VMEM((s_pad, b_tile), jnp.float32))  # xsrc
+    streams = [ad_ys, w1ad_ys, xdst_ys]
+    if not identity:
+        streams.append(xsrc_ys)
     return pl.pallas_call(
         kernel,
         grid=(nb, T),
@@ -533,10 +554,11 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, px_tm,
         interpret=_interpret(),
     )(jnp.asarray(leaky_coefficient, jnp.float32).reshape(1, 1),
       masks,
-      tot_prob.reshape(1, B).astype(jnp.float32),
-      fa.initial[:, None], fa.leaky[:, None], fa.final[:, None],
+      (fa.final[:, None] /
+       tot_prob.reshape(1, B).astype(jnp.float32)),       # bd_fin
+      fa.initial[:, None], fa.leaky[:, None],
       s_all, *[a for w in wks for a in w.arrays],
-      ad_ys, px_tm)
+      *streams)
 
 
 # ----------------------------------------------------------------------
@@ -579,8 +601,10 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
 
     masks = _length_masks(lengths, T)
 
-    ad_ys, s_ys8, ad_last = _fwd_pallas(
+    fwd_out = _fwd_pallas(
         fa, px_tm, masks, leaky_coefficient, b_tile, mm, sd)
+    ad_ys, s_ys8, ad_last, w1ad_ys, xdst_ys = fwd_out[:5]
+    xsrc_ys = fwd_out[5] if fa.xsrc_mode != "identity" else None
     s_ys = s_ys8[:, 0, :]                                 # (T, B)
 
     s0 = jnp.full((B,), fa.initial.sum(), px.dtype)
@@ -594,7 +618,7 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     objf = loglike + jnp.log(tot_prob)
 
     gamma_ys, ab8, gs8 = _bwd_pallas(
-        fa, ad_ys, px_tm, s_all, masks, tot_prob,
+        fa, ad_ys, w1ad_ys, xdst_ys, xsrc_ys, s_all, masks, tot_prob,
         leaky_coefficient, b_tile, mm, sd)
 
     # compact posterior: exactly (T, P, B) in the kernel's storage dtype
