@@ -26,6 +26,7 @@ the native engine (chain-computation.cc:345-391) is surfaced via
 from __future__ import annotations
 
 import dataclasses
+import sys
 
 import numpy as np
 import jax
@@ -69,6 +70,26 @@ def dispatch_arrays(graphs, impl: str = "auto"):
     "factorized", or "pallas" (fused VMEM-resident kernels, bfloat16
     fast mode; requires a fully factorized shared graph).
     """
+    return _log_engine(_dispatch_arrays(graphs, impl), impl)
+
+
+def _log_engine(g, impl):
+    """At verbose >= 1, report which engine a dispatch resolved to —
+    the engines differ by ~100x in throughput and a silent fallback
+    (e.g. a pre-converted GraphArrays bypassing linear detection, or a
+    beyond-VMEM graph dropping off the Pallas path) is otherwise
+    invisible."""
+    from .utils.diagnostics import get_verbose_level
+    if get_verbose_level() >= 1:
+        name = type(g).__name__
+        engine = getattr(g, "engine", None)
+        detail = f"[{engine}]" if engine else ""
+        print(f"pychain_tpu: dispatch impl={impl} -> {name}{detail}",
+              file=sys.stderr)
+    return g
+
+
+def _dispatch_arrays(graphs, impl):
     if isinstance(graphs, (GraphArrays, FactorizedArrays, LinearArrays,
                            LeveledArrays, SemiringArrays)):
         return graphs
