@@ -148,6 +148,15 @@ def main():
           f"P={P}")
 
     model = build_model(args.model, P, feat_dim)
+    # the BLSTM's reversed direction needs the true lengths or it
+    # consumes pad frames first (models/lstm.py); the TDNN is purely
+    # convolutional and takes none
+    takes_lengths = args.model != "tdnn"
+
+    def apply_model(p, x, lens):
+        if takes_lengths:
+            return model.apply(p, x, train=False, lengths=lens)
+        return model.apply(p, x, train=False)
     lengths_all = [f.shape[0] for f in feats]
     max_t = max(lengths_all)
     max_states = max(g.num_states for g in nums) + 1
@@ -166,7 +175,7 @@ def main():
     @jax.jit
     def train_step(params, opt_state, x, lens, num_g, den_g):
         def loss_fn(p):
-            out = model.apply(p, x, train=False)
+            out = apply_model(p, x, lens)
             return chain_loss(out, lens, num_g, den_g,
                               leaky_coefficient=args.leaky)
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -222,7 +231,7 @@ def main():
                 params, opt_state, x_j, lens_j, num_g, den_g)
             step += 1
             if step % 10 == 0 or step == step0 + 1:
-                out = model.apply(params, x_j, train=False)
+                out = apply_model(params, x_j, lens_j)
                 _, aux = chain_function_with_aux(out, lens_j, den_g)
                 rep_ok = check_result(aux, lens)
                 print(f"step {step}: loss={float(loss):.4f} "

@@ -224,9 +224,11 @@ def read_feats(path: str, offset: int) -> np.ndarray:
     return out
 
 
-def scan_feats_ark(path: str):
+def scan_feats_ark(path: str, _initial_keys_cap: int = 1 << 22):
     """List (key, offset) pairs of a feature ark without decoding the
-    payloads (native fast path for scp construction)."""
+    payloads (native fast path for scp construction).  The key buffer
+    grows automatically (the C++ side returns -2 rather than dropping
+    a key that does not fit, which would misalign keys vs offsets)."""
     lib = _load()
     n = lib.pc_feats_scan(path.encode(), ctypes.c_long(0), None, None,
                           ctypes.c_long(0))
@@ -235,11 +237,15 @@ def scan_feats_ark(path: str):
     if n == 0:
         return []
     offsets = np.empty(n, np.int64)
-    keys_cap = 1 << 22
-    keys = ctypes.create_string_buffer(keys_cap)
-    n2 = lib.pc_feats_scan(path.encode(), ctypes.c_long(n),
-                           _ptr(offsets, ctypes.c_int64), keys,
-                           ctypes.c_long(keys_cap))
+    keys_cap = _initial_keys_cap
+    while True:
+        keys = ctypes.create_string_buffer(keys_cap)
+        n2 = lib.pc_feats_scan(path.encode(), ctypes.c_long(n),
+                               _ptr(offsets, ctypes.c_int64), keys,
+                               ctypes.c_long(keys_cap))
+        if n2 != -2:          # -2: key buffer too small — grow and retry
+            break
+        keys_cap *= 2
     if n2 != n:
         raise ValueError(f"feature ark changed while scanning {path!r}")
     out = []

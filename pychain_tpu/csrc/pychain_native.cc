@@ -580,7 +580,11 @@ int pc_feats_read(const char* path, long offset, float* out) {
 // Scan a feature ark sequentially: write up to `cap` (offset, key)
 // entries; keys are written NUL-terminated back to back into `keys`
 // (capacity keys_cap).  Returns the number of entries found (even if
-// > cap — call again with bigger buffers), or -1 on a malformed entry.
+// > cap — call again with bigger buffers), -1 on a malformed entry,
+// or -2 when `keys` is too small for the requested entries (call
+// again with a larger keys_cap; partially-written keys must not be
+// trusted).  A key is never silently dropped: that would misalign the
+// NUL-delimited key list against the offsets array.
 long pc_feats_scan(const char* path, long cap, int64_t* offsets,
                    char* keys, long keys_cap) {
   FILE* f = fopen(path, "rb");
@@ -612,7 +616,11 @@ long pc_feats_scan(const char* path, long cap, int64_t* offsets,
     if (fseek(f, payload, SEEK_CUR) != 0) { fclose(f); return -1; }
     if (count < cap && offsets) {
       offsets[count] = off;
-      if (keys && kpos + (long)key.size() + 1 <= keys_cap) {
+      if (keys) {
+        if (kpos + (long)key.size() + 1 > keys_cap) {
+          fclose(f);
+          return -2;
+        }
         memcpy(keys + kpos, key.c_str(), key.size() + 1);
         kpos += key.size() + 1;
       }

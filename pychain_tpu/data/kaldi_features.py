@@ -132,9 +132,15 @@ def write_compressed_matrix(f, mat: np.ndarray, fmt: int = 1) -> None:
                       srt[min(3 * quart, rows - 1)], srt[-1]]),
             min_value, rng)
         # percentile grid points must be strictly increasing to avoid
-        # zero-width segments (kaldi spaces them the same way)
+        # zero-width segments (kaldi spaces them the same way); work in
+        # python ints and cap from above so the uint16 "+1" bumps can
+        # neither wrap at 65535 nor break strictness near the top
+        pv = [int(v) for v in pu]
         for i in range(1, 4):
-            pu[i] = max(pu[i], pu[i - 1] + 1)
+            pv[i] = max(pv[i], pv[i - 1] + 1)
+        for i in range(3, -1, -1):
+            pv[i] = min(pv[i], 65535 - (3 - i))
+        pu = np.asarray(pv, np.uint16)
         p0, p25, p75, p100 = (min_value
                               + rng * pu.astype(np.float32) / 65535.0)
         code = np.where(

@@ -32,14 +32,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fwdbwd import FwdBwdResult, _ok_flags
-from .semiring import SemiringArrays, _emissions, _gamma_from_occ
+from .pallas_fact import VMEM_LIMIT, _interpret
+from .semiring import SemiringArrays, _emissions, _gamma_from_occ, _safe_log
 
 NEG_INF = float("-inf")
-VMEM_LIMIT = 100 * 1024 * 1024
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def supports(g: SemiringArrays, batch: int | None = None) -> bool:
@@ -47,10 +43,6 @@ def supports(g: SemiringArrays, batch: int | None = None) -> bool:
     B, K, S = g.src_oh.shape
     bt = min(B if batch is None else batch, 128)
     return 2 * K * S * bt * 4 <= 48 * 1024 * 1024
-
-
-def _safe_log(v):
-    return jnp.where(v > 0, jnp.log(jnp.where(v > 0, v, 1.0)), NEG_INF)
 
 
 def _shift0(a):

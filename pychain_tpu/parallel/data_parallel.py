@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..loss import chain_function, dispatch_arrays, graph_arrays
+from ..loss import chain_function, dispatch_arrays
 from ..ops.fwdbwd import GraphArrays
 
 
@@ -51,22 +51,20 @@ def shard_batch(mesh: Mesh, tree):
         tree, NamedSharding(mesh, spec))
 
 
-def _graph_pspec(g: GraphArrays):
-    """PartitionSpecs for graph arrays: replicated when shared, batch-
-    sharded when per-sequence."""
-    if g.shared:
-        rep = P()
-        return GraphArrays(
-            fwd_src=rep, fwd_dst=rep, fwd_pdf=rep, fwd_prob=rep,
-            bwd_src=rep, bwd_dst=rep, bwd_pdf=rep, bwd_prob=rep,
-            initial=rep, final=rep, leaky=None if g.leaky is None else rep,
-            shared=True)
-    b = P("dp")
-    return GraphArrays(
-        fwd_src=b, fwd_dst=b, fwd_pdf=b, fwd_prob=b,
-        bwd_src=b, bwd_dst=b, bwd_pdf=b, bwd_prob=b,
-        initial=b, final=b, leaky=None if g.leaky is None else b,
-        shared=False)
+def engine_pspec(g) -> P:
+    """PartitionSpec (tree prefix) for dispatched engine arrays.
+
+    Shared graphs (the factorized/Pallas denominator, or a broadcast
+    GraphArrays) replicate; every per-sequence engine — gather-form
+    GraphArrays with ``shared=False``, and the Linear / Leveled /
+    Semiring numerator engines, whose leaves are ALL batch-leading —
+    shards its leading (batch) dim over dp."""
+    from ..ops.factorized import FactorizedArrays
+    if isinstance(g, FactorizedArrays):
+        return P()
+    if isinstance(g, GraphArrays):
+        return P() if g.shared else P("dp")
+    return P("dp")
 
 
 def pjit_chain_function(mesh: Mesh, graphs, leaky_coefficient=1e-5,
@@ -83,7 +81,7 @@ def pjit_chain_function(mesh: Mesh, graphs, leaky_coefficient=1e-5,
     ``shard_map``; only the scalar objective crosses ICI (one psum).
     """
     g = dispatch_arrays(graphs, impl)
-    gspec = P() if getattr(g, "shared", True) else P("dp")
+    gspec = engine_pspec(g)
 
     def local_fn(x, lengths, g):
         objf = chain_function(x, lengths, g, leaky_coefficient)
@@ -130,9 +128,12 @@ class ShardedChainLoss:
         self.tile_dtype = tile_dtype
         self._den_cache = {}
         self._ChainGraphBatch = ChainGraphBatch
-        self._fn = self._build()
+        # jitted shard_map per numerator spec (a shared numerator batch
+        # replicates; per-sequence engines shard over dp): one entry per
+        # distinct spec, so repeated steps still hit the jit cache
+        self._fn_cache = {}
 
-    def _build(self):
+    def _build(self, num_spec):
         leaky_coefficient = self.leaky_coefficient
         avg = self.avg
 
@@ -148,7 +149,7 @@ class ShardedChainLoss:
         # check_vma off: see pjit_chain_function.
         return jax.jit(shard_map(
             local_loss, mesh=self.mesh,
-            in_specs=(P("dp"), P("dp"), P(), P("dp")),
+            in_specs=(P("dp"), P("dp"), P(), num_spec),
             out_specs=P(), check_vma=False))
 
     def den_arrays(self, batch_size: int):
@@ -174,4 +175,7 @@ class ShardedChainLoss:
                 f"batch size {B} not divisible by dp axis size {n_dp}")
         den = self.den_arrays(B // n_dp)
         num = dispatch_arrays(num_graphs, "auto")
-        return self._fn(x, jnp.asarray(x_lengths), den, num)
+        num_spec = engine_pspec(num)
+        if num_spec not in self._fn_cache:
+            self._fn_cache[num_spec] = self._build(num_spec)
+        return self._fn_cache[num_spec](x, jnp.asarray(x_lengths), den, num)

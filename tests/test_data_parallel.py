@@ -70,9 +70,12 @@ def test_sharded_loss_jits_once():
     sharded = ShardedChainLoss(mesh, den)
 
     v1 = float(sharded(x, lengths, num_b))
-    traces0 = sharded._fn._cache_size()
+    assert len(sharded._fn_cache) == 1
+    fn = next(iter(sharded._fn_cache.values()))
+    traces0 = fn._cache_size()
     v2 = float(sharded(x * 1.01, lengths, num_b))
-    assert sharded._fn._cache_size() == traces0 == 1
+    assert len(sharded._fn_cache) == 1
+    assert fn._cache_size() == traces0 == 1
     assert v1 != v2  # values flow, no stale caching
 
 
@@ -125,3 +128,36 @@ def test_sharded_loss_bf16_pallas_fast_mode():
     assert str(arrs.w1.tiles.dtype) == "bfloat16"
     got = float(sharded(x, lengths, num_b))
     assert abs(got - ref) < 2e-2 * max(1.0, abs(ref)), (got, ref)
+
+
+def test_pjit_chain_function_linear_numerators():
+    """Per-sequence engine arrays without a ``shared`` attribute
+    (LinearArrays etc.) must shard over dp, not replicate (regression:
+    they were treated as shared and broke shard_map broadcasting)."""
+    den, num_b, x, lengths = _setup(seed=5)
+    from pychain_tpu.ops.linear import LinearArrays
+    assert isinstance(dispatch_arrays(num_b, "auto"), LinearArrays)
+    ref = float(chain_function(x, lengths, num_b))
+    mesh = make_mesh(n_mp=1)
+    fn = pjit_chain_function(mesh, num_b)
+    got = float(fn(x, lengths))
+    assert abs(got - ref) < 1e-4 * max(1.0, abs(ref)), (got, ref)
+
+
+def test_sharded_loss_shared_numerator_batch():
+    """A SHARED numerator batch (broadcast log-domain graph) must be
+    replicated across shards, not dp-sharded along its unbatched arc
+    axes (regression: the num spec was a fixed P('dp'))."""
+    rng = np.random.RandomState(6)
+    den_fst, P = denominator_fst(num_phones=8, states_per_phone=2, seed=6)
+    den = ChainGraph(den_fst)
+    B, T = 8, 10
+    # one shared cyclic log-domain "numerator" broadcast across the batch
+    num_g = ChainGraph(den_fst, log_domain=True, initial_mode="fst")
+    num_b = ChainGraphBatch(num_g, B)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = jnp.full((B,), T, jnp.int32)
+    ref = float(ChainLoss(den)(x, lengths, num_b))
+    mesh = make_mesh(n_mp=1)
+    got = float(ShardedChainLoss(mesh, den)(x, lengths, num_b))
+    assert abs(got - ref) < 1e-4 * max(1.0, abs(ref)), (got, ref)

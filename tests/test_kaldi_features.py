@@ -68,3 +68,24 @@ def test_compressed_matrix_in_ark(tmp_path):
     got = dict(read_feats_ark(ark))
     assert np.abs(got["utt1"] - mat).max() < 0.2
     np.testing.assert_allclose(load_scp_entry(ark, off), got["utt1"])
+
+
+def test_compressed_matrix_constant_max_column():
+    """A column pinned at the global max used to wrap the uint16
+    percentile bump (pu[i-1]+1 -> 0), voiding the strictly-increasing
+    grid and emitting divide-by-zero warnings (regression)."""
+    import io
+    import warnings
+    from pychain_tpu.data.kaldi_features import (read_matrix,
+                                                 write_compressed_matrix)
+    rng = np.random.RandomState(1)
+    mat = rng.randn(40, 4).astype(np.float32)
+    mat[:, 2] = mat.max() + 5.0  # nearly-constant column at the max
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any overflow/0-div warning fails
+        buf = io.BytesIO()
+        write_compressed_matrix(buf, mat, fmt=1)
+    buf.seek(0)
+    got = read_matrix(buf)
+    rng_v = float(mat.max() - mat.min())
+    assert np.abs(got - mat).max() <= rng_v / 40

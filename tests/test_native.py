@@ -150,3 +150,29 @@ def test_native_feature_decode_parity(tmp_path):
 
     scanned = scan_feats_ark(ark)
     assert scanned == [(k, off) for k, off in offsets.items()]
+
+
+def test_native_scan_grows_key_buffer(tmp_path):
+    """Keys beyond the initial key-buffer capacity must grow the buffer,
+    not silently drop/misalign keys (the C++ side returns -2; regression
+    for the skip-one-write-next misalignment)."""
+    from pychain_tpu.csrc import native
+    from pychain_tpu.data.kaldi_features import write_matrix
+    if not native.available() and not native.build():
+        pytest.skip("native library not built")
+
+    rng = np.random.RandomState(0)
+    keys = [f"utterance-{i:04d}-with-a-deliberately-long-identifier"
+            for i in range(8)]
+    ark = str(tmp_path / "longkeys.ark")
+    offsets = {}
+    with open(ark, "wb") as f:
+        for k in keys:
+            f.write(k.encode() + b" ")
+            offsets[k] = f.tell()
+            f.write(b"\x00B")
+            write_matrix(f, rng.randn(3, 2).astype(np.float32))
+
+    # initial capacity fits ~1.5 keys: forces several -2 growth rounds
+    scanned = native.scan_feats_ark(ark, _initial_keys_cap=64)
+    assert scanned == [(k, off) for k, off in offsets.items()]
