@@ -116,6 +116,12 @@ def build_model(name, num_pdfs, feat_dim):
                          dilations=(1, 1, 3, 3), strides=(1, 1, 1, 1),
                          dropout=0.0)
         return TDNN(cfg)
+    if name == "tdnnf":
+        from pychain_tpu.models import TDNNF, TDNNFConfig
+        cfg = TDNNFConfig(num_pdfs=num_pdfs, hidden_dim=256,
+                          bottleneck_dim=64, num_layers=4,
+                          dilations=(1, 1, 3, 3), dropout=0.0)
+        return TDNNF(cfg)
     cfg = BLSTMConfig(num_pdfs=num_pdfs, hidden_dim=256, num_layers=2)
     return BLSTM(cfg)
 
@@ -123,7 +129,8 @@ def build_model(name, num_pdfs, feat_dim):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", type=str, default="")
-    ap.add_argument("--model", choices=("tdnn", "blstm"), default="tdnn")
+    ap.add_argument("--model", choices=("tdnn", "tdnnf", "blstm"),
+                    default="tdnn")
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--bucket-step", type=int, default=25)
@@ -151,7 +158,7 @@ def main():
     # the BLSTM's reversed direction needs the true lengths or it
     # consumes pad frames first (models/lstm.py); the TDNN is purely
     # convolutional and takes none
-    takes_lengths = args.model != "tdnn"
+    takes_lengths = args.model == "blstm"
 
     def apply_model(p, x, lens):
         if takes_lengths:
@@ -230,6 +237,11 @@ def main():
             loss, params, opt_state = train_step(
                 params, opt_state, x_j, lens_j, num_g, den_g)
             step += 1
+            if args.model == "tdnnf" and step % 4 == 0:
+                # Kaldi applies the semi-orthogonal constraint every
+                # few optimizer steps (floating case)
+                from pychain_tpu.models import constrain_semi_orthogonal
+                params = constrain_semi_orthogonal(params)
             if step % 10 == 0 or step == step0 + 1:
                 out = apply_model(params, x_j, lens_j)
                 _, aux = chain_function_with_aux(out, lens_j, den_g)

@@ -185,3 +185,82 @@ def test_blstm_shapes_grad_and_chain_loss():
     loss, grads = jax.value_and_grad(loss_fn)(params)
     assert np.isfinite(float(loss))
     assert all(np.isfinite(l).all() for l in jax.tree.leaves(grads))
+
+
+def test_tdnnf_shapes_grad_and_bypass():
+    from pychain_tpu.models import TDNNF, TDNNFConfig
+
+    cfg = TDNNFConfig(num_pdfs=16, hidden_dim=32, bottleneck_dim=8,
+                      num_layers=3, dilations=(1, 3), dropout=0.0)
+    model = TDNNF(cfg)
+    x = jnp.ones((2, 12, 8))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(params, x, train=False)
+    assert out.shape == (2, 12, 16)
+    g = jax.grad(lambda p: model.apply(p, x, train=False).sum())(params)
+    assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
+
+
+def test_tdnnf_semi_orthogonal_constraint_converges():
+    """Repeated floating-case updates must drive every bottleneck
+    factor M toward M M^T = sigma^2 I, and touch ONLY those kernels."""
+    from pychain_tpu.models import (TDNNF, TDNNFConfig,
+                                    constrain_semi_orthogonal,
+                                    semi_orthogonal_deviation)
+
+    cfg = TDNNFConfig(num_pdfs=10, hidden_dim=24, bottleneck_dim=6,
+                      num_layers=2, dropout=0.0)
+    model = TDNNF(cfg)
+    x = jnp.ones((1, 8, 5))
+    params = model.init(jax.random.PRNGKey(3), x, train=False)
+    # perturb so the init is far from orthonormal
+    params = jax.tree.map(lambda l: l * 1.7 if l.ndim == 3 else l, params)
+
+    d0 = float(semi_orthogonal_deviation(params))
+    p = params
+    for _ in range(30):
+        p = constrain_semi_orthogonal(p)
+    d1 = float(semi_orthogonal_deviation(p))
+    assert d1 < 1e-3, (d0, d1)
+    assert d1 < d0
+
+    # only bottleneck kernels moved
+    flat0 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(p)[0]
+    from pychain_tpu.models.tdnnf import BOTTLENECK_KERNEL_NAME
+    for (path, a), (_, b) in zip(flat0, flat1):
+        names = [getattr(k, "key", "") for k in path]
+        is_bneck = BOTTLENECK_KERNEL_NAME in names and names[-1] == "kernel"
+        if is_bneck:
+            assert not np.allclose(np.asarray(a), np.asarray(b))
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tdnnf_chain_loss_end_to_end():
+    from pychain_tpu.models import TDNNF, TDNNFConfig
+    from pychain_tpu.utils.testgraphs import linear_fst
+    from pychain_tpu.loss import chain_loss
+
+    cfg = TDNNFConfig(num_pdfs=12, hidden_dim=16, bottleneck_dim=4,
+                      num_layers=2, dropout=0.0)
+    model = TDNNF(cfg)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 7, 5).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    nums = [ChainGraph(linear_fst(rng.randint(0, 12, size=7)),
+                       log_domain=True) for _ in range(2)]
+    nb = ChainGraphBatch(nums, max_num_transitions=7, max_num_states=8)
+    den = ChainGraph(denominator_fst(num_phones=6, states_per_phone=2,
+                                     seed=0)[0])
+    db = ChainGraphBatch(den, 2)
+    lengths = jnp.array([7, 7], jnp.int32)
+
+    def loss_fn(p):
+        return chain_loss(model.apply(p, x, train=False), lengths, nb, db)
+
+    l0, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(l0))
+    p1 = jax.tree.map(lambda a, g: a - 0.05 * g, params, grads)
+    l1 = loss_fn(p1)
+    assert float(l1) < float(l0)
