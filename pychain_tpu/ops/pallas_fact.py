@@ -195,7 +195,8 @@ class _WK:
 # Forward sweep
 # ----------------------------------------------------------------------
 
-def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
+def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd,
+                        emit_aux=True):
     # ef/eg: one-hot emission maps applied IN-KERNEL to the streamed
     # raw px slice: x_dst = E_f @ px_t, x_src = x_dst (eg is None when
     # g == f on W2's support) or E_g @ px_t.  The tile dots ride the
@@ -204,12 +205,14 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
     # passes per batch (measured 3.6 ms at the headline size) and, in
     # "stream" mode, a whole second (T, S_pad, B) stream.
     #
-    # Besides the recurrence outputs, the kernel emits the two
-    # quantities the BACKWARD sweep would otherwise recompute on its
-    # (MXU-bound) critical path: ``W1 @ alpha'(t)`` and the emission
-    # rows x_dst (x_src).  Streaming them costs this kernel only spare
-    # DMA bandwidth; recomputing them in the bwd kernel costs ~5 us of
-    # serial MXU work per step (see docs/DESIGN.md round-3 notes).
+    # With ``emit_aux`` (the "full" stream mode), the kernel also emits
+    # the two quantities the BACKWARD sweep would otherwise recompute
+    # on its (MXU-bound) critical path: ``W1 @ alpha'(t)`` and the
+    # emission rows x_dst (x_src).  Streaming them costs this kernel
+    # only spare DMA bandwidth; recomputing them in the bwd kernel
+    # costs ~5 us of serial MXU work per step (docs/DESIGN.md round-3
+    # notes).  The "lean" mode drops them to a third of the HBM
+    # footprint for long-T batches.
     n = [w1.n_args, w2.n_args, ef.n_args, eg.n_args if eg else 0]
 
     def kernel(*refs):
@@ -220,10 +223,15 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
         ef_refs = refs[o:o + n[2]]; o += n[2]
         eg_refs = refs[o:o + n[3]]; o += n[3]
         px_ref = refs[o]; o += 1
-        (ad_out, s_out, ad_last_out, w1ad_out, xdst_out) = refs[o:o + 5]
-        o += 5
-        xsrc_out = refs[o] if eg else None
-        o += 1 if eg else 0
+        (ad_out, s_out, ad_last_out) = refs[o:o + 3]
+        o += 3
+        w1ad_out = xdst_out = xsrc_out = None
+        if emit_aux:
+            w1ad_out, xdst_out = refs[o:o + 2]
+            o += 2
+            if eg:
+                xsrc_out = refs[o]
+                o += 1
         ad, acc, s_scr, xdst_scr = refs[o:o + 4]
         xsrc_scr = refs[o + 4] if eg else None
 
@@ -244,18 +252,21 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd):
         px_t = px_ref[0]                                  # (P_eff, Bt)
         ef.apply(ef_refs, px_t, xdst_scr)                 # x_dst = E_f px
         xdst = xdst_scr[:]
-        xdst_out[0] = xdst.astype(sd)
+        if xdst_out is not None:
+            xdst_out[0] = xdst.astype(sd)
         if eg:
             eg.apply(eg_refs, px_t, xsrc_scr)             # x_src = E_g px
             xsrc = xsrc_scr[:]
-            xsrc_out[0] = xsrc.astype(sd)
+            if xsrc_out is not None:
+                xsrc_out[0] = xsrc.astype(sd)
         else:
             xsrc = xdst
 
         ad_v = ad[:]
         w1.apply(w1_refs, ad_v, acc)                      # acc = W1 @ ad
         w1ad = acc[:]
-        w1ad_out[0] = w1ad.astype(sd)
+        if w1ad_out is not None:
+            w1ad_out[0] = w1ad.astype(sd)
         a_part = xdst * w1ad
         w2.apply(w2_refs, xsrc * ad_v, acc)               # acc = W2 @ u
         # reciprocal once on a (1, Bt) row; a full-matrix divide costs
@@ -303,14 +314,15 @@ def _length_masks(lengths, T):
 
 
 def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
-                leaky_coefficient, b_tile, mm, sd):
+                leaky_coefficient, b_tile, mm, sd, emit_aux=True):
     T, p_eff, B = px_tm.shape
     s_pad = fa.s_pad
     nb = B // b_tile
     w1, w2 = _WK(fa.w1, mm), _WK(fa.w2, mm)
     ef = _WK(fa.e_f, mm)
     eg = None if fa.xsrc_mode == "identity" else _WK(fa.e_g, mm)
-    kernel = _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd)
+    kernel = _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd,
+                                 emit_aux)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -335,19 +347,18 @@ def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
                      memory_space=pltpu.VMEM),            # s_ys
         pl.BlockSpec((s_pad, b_tile), lambda b, t: (0, b),
                      memory_space=pltpu.VMEM),            # ad_last
-        stream(s_pad),                                    # W1 @ alpha'
-        stream(s_pad),                                    # x_dst
     ]
     out_shape = [
         jax.ShapeDtypeStruct((T, s_pad, B), sd),
         jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
         jax.ShapeDtypeStruct((s_pad, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, s_pad, B), sd),
-        jax.ShapeDtypeStruct((T, s_pad, B), sd),
     ]
-    if eg:
-        out_specs.append(stream(s_pad))                   # x_src
-        out_shape.append(jax.ShapeDtypeStruct((T, s_pad, B), sd))
+    if emit_aux:
+        out_specs += [stream(s_pad), stream(s_pad)]       # W1@alpha', x_dst
+        out_shape += [jax.ShapeDtypeStruct((T, s_pad, B), sd)] * 2
+        if eg:
+            out_specs.append(stream(s_pad))               # x_src
+            out_shape.append(jax.ShapeDtypeStruct((T, s_pad, B), sd))
     scratch = [
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # ad carry
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # acc
@@ -379,17 +390,25 @@ def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
 # ----------------------------------------------------------------------
 
 def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
-                        p_pad, b_tile, sd):
+                        p_pad, b_tile, sd, w1=None, ef=None, eg=None):
     # The bwd kernel is MXU-BOUND (w1t dense + w2t + eft scatter tiles
     # already sum to ~6 us/step of peak-MXU work at the headline size).
-    # Everything the fwd sweep already computed therefore arrives as a
-    # STREAM instead of being recomputed: x_dst/x_src (in round 2 these
-    # were in-kernel E_f/E_g dots) and ``W1 @ alpha'(u)`` (a dense-block
-    # recompute).  Streams cost spare DMA bandwidth; recomputes cost
-    # serial MXU time.  This also evicts W1 and E_f from the kernel's
-    # VMEM residents, roughly halving the bwd footprint (the fwd kernel
-    # is now the fits_vmem binding set).
-    n = [w1t.n_args, w2t.n_args, eft.n_args, egt.n_args if egt else 0]
+    # In the default "full" stream mode, everything the fwd sweep
+    # already computed arrives as a STREAM instead of being recomputed:
+    # x_dst/x_src (in round 2 these were in-kernel E_f/E_g dots) and
+    # ``W1 @ alpha'(u)`` (a dense-block recompute).  Streams cost spare
+    # DMA bandwidth; recomputes cost serial MXU time.  This also evicts
+    # W1 and E_f from the kernel's VMEM residents, roughly halving the
+    # bwd footprint (the fwd kernel is the fits_vmem binding set).
+    #
+    # The "lean" mode (w1/ef passed in) is the round-2 kernel: only the
+    # alpha stream is kept and the bwd recomputes ``W1 @ alpha'`` and
+    # the emission rows from a px stream — a third of the HBM footprint,
+    # for long-T batches where three (T, S_pad, B) streams don't fit.
+    lean = w1 is not None
+    n = [w1t.n_args, w2t.n_args, eft.n_args, egt.n_args if egt else 0,
+         w1.n_args if lean else 0, ef.n_args if lean else 0,
+         eg.n_args if (lean and eg) else 0]
 
     def kernel(*refs):
         (lc_ref, m_ref, bdfin_ref, init_ref, leaky_ref,
@@ -399,14 +418,24 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
         w2t_refs = refs[o:o + n[1]]; o += n[1]
         eft_refs = refs[o:o + n[2]]; o += n[2]
         egt_refs = refs[o:o + n[3]]; o += n[3]
+        w1_refs = refs[o:o + n[4]]; o += n[4]
+        ef_refs = refs[o:o + n[5]]; o += n[5]
+        eg_refs = refs[o:o + n[6]]; o += n[6]
         ad_prev_ref = refs[o]; o += 1
-        w1ad_ref = refs[o]; o += 1
-        xdst_ref = refs[o]; o += 1
-        xsrc_ref = refs[o] if not identity else None
-        o += 0 if identity else 1
+        if lean:
+            px_ref = refs[o]; o += 1
+            w1ad_ref = xdst_ref = xsrc_ref = None
+        else:
+            w1ad_ref = refs[o]; o += 1
+            xdst_ref = refs[o]; o += 1
+            xsrc_ref = refs[o] if not identity else None
+            o += 0 if identity else 1
         gamma_out, ab_out, gs_out = refs[o:o + 3]
         o += 3
         bd, acc, gacc = refs[o:o + 3]
+        if lean:
+            w1fwd_scr, xdst_scr = refs[o + 3:o + 5]
+            xsrc_scr = refs[o + 5] if eg else None
 
         g = pl.program_id(1)
         u = T - 1 - g
@@ -418,9 +447,19 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
 
         leaky_col = leaky_ref[:]
 
-        xdst = xdst_ref[0].astype(jnp.float32)            # (S_pad, Bt)
-        xsrc = xsrc_ref[0].astype(jnp.float32) if xsrc_ref is not None \
-            else xdst
+        if lean:
+            px_t = px_ref[0]                              # (P_eff, Bt)
+            ef.apply(ef_refs, px_t, xdst_scr)             # x_dst = E_f px
+            xdst = xdst_scr[:]
+            if eg:
+                eg.apply(eg_refs, px_t, xsrc_scr)         # x_src = E_g px
+                xsrc = xsrc_scr[:]
+            else:
+                xsrc = xdst
+        else:
+            xdst = xdst_ref[0].astype(jnp.float32)        # (S_pad, Bt)
+            xsrc = (xsrc_ref[0].astype(jnp.float32)
+                    if xsrc_ref is not None else xdst)
 
         # alpha'(u): streamed ys block u-1, or rebuilt ad0 when u == 0
         init_col = init_ref[:]
@@ -443,8 +482,13 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
         b_next = bd_eff + leaky_c * jnp.sum(
             bd_eff * leaky_col, axis=0, keepdims=True)
 
-        # W1 @ alpha'(u): streamed from the fwd sweep
-        w1fwd = w1ad_ref[0].astype(jnp.float32)
+        # W1 @ alpha'(u): streamed from the fwd sweep (full mode) or
+        # recomputed on the MXU from the alpha stream (lean mode)
+        if lean:
+            w1.apply(w1_refs, ad_u, w1fwd_scr)
+            w1fwd = w1fwd_scr[:]
+        else:
+            w1fwd = w1ad_ref[0].astype(jnp.float32)
         s_u = s_all_ref[pl.ds(u, 1), :]                   # (1, b_tile)
         inv = 1.0 / s_u
 
@@ -479,18 +523,23 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
 
 
 def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
-                s_all, masks, tot_prob, leaky_coefficient, b_tile, mm,
-                sd):
+                px_tm, s_all, masks, tot_prob, leaky_coefficient,
+                b_tile, mm, sd):
     T, _, B = ad_ys.shape
     s_pad = fa.s_pad
     p_pad = fa.p_pad
     nb = B // b_tile
+    lean = w1ad_ys is None
     w1t, w2t = _WK(fa.w1t, mm), _WK(fa.w2t, mm)
     eft = _WK(fa.e_ft, mm)
     identity = fa.xsrc_mode == "identity"
     egt = None if identity else _WK(fa.e_gt, mm)
+    w1 = _WK(fa.w1, mm) if lean else None
+    ef = _WK(fa.e_f, mm) if lean else None
+    eg = _WK(fa.e_g, mm) if (lean and not identity) else None
     kernel = _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T,
-                                 s_pad, p_pad, b_tile, sd)
+                                 s_pad, p_pad, b_tile, sd,
+                                 w1=w1, ef=ef, eg=eg)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -504,7 +553,8 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
     w_spec = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim,
                                     memory_space=pltpu.VMEM)
 
-    wks = [w1t, w2t, eft] + ([egt] if egt else [])
+    wks = [w1t, w2t, eft] + ([egt] if egt else []) \
+        + ([w1, ef] if lean else []) + ([eg] if eg else [])
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
@@ -516,11 +566,13 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
                      memory_space=pltpu.VMEM),            # s_all
         *[w_spec(a) for w in wks for a in w.arrays],
         rev_shift,                                        # ad_ys (u-1)
-        rev(s_pad),                                       # W1 @ alpha'(u)
-        rev(s_pad),                                       # x_dst(u)
     ]
-    if not identity:
-        in_specs.append(rev(s_pad))                       # x_src(u)
+    if lean:
+        in_specs.append(rev(px_tm.shape[1]))              # px(u)
+    else:
+        in_specs += [rev(s_pad), rev(s_pad)]              # W1@alpha', x_dst
+        if not identity:
+            in_specs.append(rev(s_pad))                   # x_src(u)
     out_specs = [
         rev(p_pad),                                       # gamma
         pl.BlockSpec((1, 8, b_tile), lambda b, t: (T - 1 - t, 0, b),
@@ -538,9 +590,16 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # acc
         pltpu.VMEM((p_pad, b_tile), jnp.float32),         # gamma acc
     ]
-    streams = [ad_ys, w1ad_ys, xdst_ys]
-    if not identity:
-        streams.append(xsrc_ys)
+    if lean:
+        scratch.append(pltpu.VMEM((s_pad, b_tile), jnp.float32))  # W1@ad
+        scratch.append(pltpu.VMEM((s_pad, b_tile), jnp.float32))  # x_dst
+        if eg:
+            scratch.append(pltpu.VMEM((s_pad, b_tile), jnp.float32))
+        streams = [ad_ys, px_tm]
+    else:
+        streams = [ad_ys, w1ad_ys, xdst_ys]
+        if not identity:
+            streams.append(xsrc_ys)
     return pl.pallas_call(
         kernel,
         grid=(nb, T),
@@ -565,13 +624,25 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
 # Full fused fwd+bwd
 # ----------------------------------------------------------------------
 
+# "full" stream mode keeps three (T, S_pad, B) fwd->bwd streams (alpha,
+# W1@alpha', x_dst (+x_src)); beyond this byte budget the "lean" mode
+# keeps only alpha and recomputes the rest in the bwd kernel (~30%
+# slower per step, a third of the HBM footprint) — long-T batches.
+STREAM_BUDGET = 4 * 1024 * 1024 * 1024
+
+
 def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
                                  leaky_coefficient=1e-5,
-                                 b_tile: int = 128) -> FwdBwdResult:
+                                 b_tile: int = 128,
+                                 stream_mode: str = "auto") -> FwdBwdResult:
     """Fast-mode fused fwd+bwd on a fully-factorized graph.
 
     px: (B, T, P) exp'd clamped nnet output (float32).  Matches the XLA
     factorized path semantics with bfloat16 matmul/storage quantisation.
+    stream_mode: "full" (fwd emits W1@alpha' and the emission rows for
+    the bwd sweep — fastest), "lean" (alpha stream only, bwd recomputes
+    — a third of the HBM footprint for long T), or "auto" (full within
+    STREAM_BUDGET bytes of streams).
     """
     if not supports(fa):
         raise ValueError("pallas path requires a fully factorized graph")
@@ -601,10 +672,22 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
 
     masks = _length_masks(lengths, T)
 
+    if stream_mode == "auto":
+        n_streams = 3 if fa.xsrc_mode == "identity" else 4
+        stream_bytes = n_streams * T * s_pad * B * jnp.dtype(sd).itemsize
+        stream_mode = "full" if stream_bytes <= STREAM_BUDGET else "lean"
+    if stream_mode not in ("full", "lean"):
+        raise ValueError(f"unknown stream_mode {stream_mode!r}")
+    emit_aux = stream_mode == "full"
+
     fwd_out = _fwd_pallas(
-        fa, px_tm, masks, leaky_coefficient, b_tile, mm, sd)
-    ad_ys, s_ys8, ad_last, w1ad_ys, xdst_ys = fwd_out[:5]
-    xsrc_ys = fwd_out[5] if fa.xsrc_mode != "identity" else None
+        fa, px_tm, masks, leaky_coefficient, b_tile, mm, sd, emit_aux)
+    ad_ys, s_ys8, ad_last = fwd_out[:3]
+    w1ad_ys = xdst_ys = xsrc_ys = None
+    if emit_aux:
+        w1ad_ys, xdst_ys = fwd_out[3:5]
+        if fa.xsrc_mode != "identity":
+            xsrc_ys = fwd_out[5]
     s_ys = s_ys8[:, 0, :]                                 # (T, B)
 
     s0 = jnp.full((B,), fa.initial.sum(), px.dtype)
@@ -618,8 +701,8 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     objf = loglike + jnp.log(tot_prob)
 
     gamma_ys, ab8, gs8 = _bwd_pallas(
-        fa, ad_ys, w1ad_ys, xdst_ys, xsrc_ys, s_all, masks, tot_prob,
-        leaky_coefficient, b_tile, mm, sd)
+        fa, ad_ys, w1ad_ys, xdst_ys, xsrc_ys, px_tm, s_all, masks,
+        tot_prob, leaky_coefficient, b_tile, mm, sd)
 
     # compact posterior: exactly (T, P, B) in the kernel's storage dtype
     gamma_tm = gamma_ys

@@ -126,3 +126,37 @@ def test_oversized_graph_falls_back_to_xla(monkeypatch):
     monkeypatch.setattr(pf, "fits_vmem", lambda fa, b_tile=128: False)
     g2 = dispatch_arrays(batch, impl="pallas")
     assert isinstance(g2, FactorizedArrays) and g2.engine == "xla"
+
+
+@pytest.mark.parametrize("fwd_mode", ["source", "separate"])
+def test_pallas_lean_stream_mode_matches_full(fwd_mode):
+    """The long-T "lean" stream mode (alpha stream only, bwd recomputes
+    W1@alpha' and the emission rows) must match the default "full" mode
+    exactly in f32 parity tiles — same math, different data movement."""
+    from pychain_tpu.loss import dispatch_arrays
+    from pychain_tpu.ops.pallas_fact import forward_backward_prob_pallas
+
+    rng = np.random.RandomState(11)
+    den_fst, P = denominator_fst(num_phones=8, states_per_phone=2,
+                                 seed=11, forward_pdf_mode=fwd_mode)
+    den = ChainGraph(den_fst, log_domain=False)
+    B, T = 3, 6
+    batch = ChainGraphBatch(den, B)
+    fa = batch._fact
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    px = jnp.exp(jnp.clip(x, -30, 30))
+    lengths = jnp.array([6, 4, 2], jnp.int32)
+
+    full = forward_backward_prob_pallas(px, lengths, fa,
+                                        stream_mode="full")
+    lean = forward_backward_prob_pallas(px, lengths, fa,
+                                        stream_mode="lean")
+    np.testing.assert_allclose(np.asarray(lean.objf),
+                               np.asarray(full.objf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lean.gamma),
+                               np.asarray(full.gamma),
+                               rtol=1e-5, atol=1e-6)
+    assert np.all(np.asarray(lean.ok))
+
+    with pytest.raises(ValueError, match="stream_mode"):
+        forward_backward_prob_pallas(px, lengths, fa, stream_mode="bogus")
