@@ -110,14 +110,18 @@ def _dispatch_arrays(graphs, impl):
     semiring = getattr(graphs, "_semiring", None)
     if semiring is not None and impl in ("auto", "semiring",
                                          "semiring_pallas"):
+        from .ops.pallas_semiring import supports as sr_supports
         if impl == "semiring_pallas":
-            # Fused-kernel variant; measured slower than the XLA scan
-            # at numerator sizes (the hot contractions are VPU-bound
-            # batched matvecs either way), kept for larger-S regimes.
-            from .ops.pallas_semiring import supports as sr_supports
             if not sr_supports(semiring):
                 raise ValueError("semiring_pallas: one-hots exceed the "
                                  "VMEM budget for this batch")
+            return dataclasses.replace(semiring, engine="pallas")
+        if (impl == "auto" and sr_supports(semiring)
+                and jax.default_backend() == "tpu"):
+            # The select-free fused kernels beat the XLA scan on real
+            # TPU hardware (3.2 vs 4.5 ms at B=128 T=500 S=48); on CPU
+            # they would run in the slow Pallas interpreter, so "auto"
+            # keeps the XLA scan there.  impl="semiring" forces XLA.
             return dataclasses.replace(semiring, engine="pallas")
         return semiring
     if impl in ("semiring", "semiring_pallas"):

@@ -8,6 +8,10 @@ running arbitrary graphs through its log-domain CUDA kernels
 (chain-log-domain-kernels.cu:86-235).
 """
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 import jax
@@ -133,6 +137,65 @@ def test_semiring_budget_fallback(monkeypatch):
     assert isinstance(dispatch_arrays(batch, "auto"), GraphArrays)
     with pytest.raises(ValueError, match="semiring"):
         dispatch_arrays(batch, "semiring")
+
+
+_TPU_SNIPPET = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax, jax.numpy as jnp
+assert jax.default_backend() not in ("cpu",), jax.default_backend()
+from pychain_tpu import ChainGraph, ChainGraphBatch
+from pychain_tpu.loss import chain_function_with_aux, dispatch_arrays
+from pychain_tpu.ops.semiring import SemiringArrays
+from pychain_tpu.utils.testgraphs import random_fst
+
+rng = np.random.RandomState(0)
+B, T, P = 16, 40, 8
+graphs = [ChainGraph(random_fst(num_states=10 + b % 5, num_pdfs=P,
+                                seed=b), log_domain=True)
+          for b in range(B)]
+batch = ChainGraphBatch(
+    graphs, max_num_transitions=max(g.num_transitions for g in graphs),
+    max_num_states=max(g.num_states for g in graphs))
+x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+lengths = np.linspace(T, T // 3, B).astype(np.int32)
+
+# on a TPU backend "auto" must resolve to the fused kernels
+g_auto = dispatch_arrays(batch, "auto")
+assert isinstance(g_auto, SemiringArrays) and g_auto.engine == "pallas", \
+    (type(g_auto), getattr(g_auto, "engine", None))
+
+_, ref = chain_function_with_aux(x, lengths, batch, impl="semiring")
+_, got = chain_function_with_aux(x, lengths, batch,
+                                 impl="semiring_pallas")
+# budget: the two engines compute the same reals along different f32
+# routes (sum-normalised vs max-shifted scales, per-step kernel
+# exp/log vs XLA logsumexp); measured divergence at T=40 is ~3e-4
+# absolute on objf, ~6e-4 on gamma — budget 5x headroom
+np.testing.assert_allclose(np.asarray(got.objf), np.asarray(ref.objf),
+                           rtol=1e-4, atol=2e-3)
+np.testing.assert_allclose(np.asarray(got.gamma), np.asarray(ref.gamma),
+                           rtol=1e-2, atol=3e-3)
+assert np.all(np.asarray(got.ok))
+print("TPU-SEMIRING-PARITY-OK")
+"""
+
+
+@pytest.mark.skipif("PALLAS_AXON_POOL_IPS" not in os.environ,
+                    reason="needs the real TPU tunnel")
+def test_semiring_pallas_on_tpu_hardware():
+    """Compile the real (non-interpreted) select-free kernels on the
+    chip and check parity vs the XLA scan, plus the auto-dispatch
+    preference for the kernels on a TPU backend."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", _TPU_SNIPPET.format(repo=repo)],
+        capture_output=True, text=True, timeout=1500, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "TPU-SEMIRING-PARITY-OK" in proc.stdout
 
 
 def test_semiring_infeasible_length():
