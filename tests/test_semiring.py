@@ -178,6 +178,17 @@ np.testing.assert_allclose(np.asarray(got.objf), np.asarray(ref.objf),
 np.testing.assert_allclose(np.asarray(got.gamma), np.asarray(ref.gamma),
                            rtol=1e-2, atol=3e-3)
 assert np.all(np.asarray(got.ok))
+
+# the kernels must also compose with shard_map (ShardedChainLoss
+# dispatches numerators via "auto", which selects them on TPU)
+from pychain_tpu.parallel import ShardedChainLoss, make_mesh
+from pychain_tpu.utils.testgraphs import denominator_fst
+den_fst, dP = denominator_fst(num_phones=4, states_per_phone=2, seed=1)
+assert dP <= P
+den = ChainGraph(den_fst, log_domain=False)
+sharded = ShardedChainLoss(make_mesh(1, 1), den)
+loss = sharded(x, jnp.asarray(lengths), batch)
+assert np.isfinite(float(loss)), loss
 print("TPU-SEMIRING-PARITY-OK")
 """
 
