@@ -196,7 +196,7 @@ class _WK:
 # ----------------------------------------------------------------------
 
 def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd,
-                        emit_aux=True):
+                        emit_aux=True, ext_init=False):
     # ef/eg: one-hot emission maps applied IN-KERNEL to the streamed
     # raw px slice: x_dst = E_f @ px_t, x_src = x_dst (eg is None when
     # g == f on W2's support) or E_g @ px_t.  The tile dots ride the
@@ -218,6 +218,10 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd,
     def kernel(*refs):
         (lc_ref, m_ref, init_ref, leaky_ref) = refs[:4]
         o = 4
+        ad_init_ref = s_init_ref = None
+        if ext_init:
+            ad_init_ref, s_init_ref = refs[o:o + 2]
+            o += 2
         w1_refs = refs[o:o + n[0]]; o += n[0]
         w2_refs = refs[o:o + n[1]]; o += n[1]
         ef_refs = refs[o:o + n[2]]; o += n[2]
@@ -240,12 +244,20 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd,
 
         @pl.when(t == 0)
         def _():
-            init_col = init_ref[:]                        # (S_pad, 1)
-            s0 = jnp.sum(init_col)
-            ad0 = init_col + leaky_c * s0 * leaky_ref[:]
-            ad[:] = jnp.broadcast_to(ad0, (s_pad, b_tile))
-            s_scr[0, :] = jnp.full((b_tile,), s0, jnp.float32)
-            ad_last_out[:] = jnp.broadcast_to(ad0, (s_pad, b_tile))
+            if ext_init:
+                # chunked (checkpointed-backward) re-entry: the carry
+                # starts from a streamed snapshot, not the graph init
+                ad0_blk = ad_init_ref[:].astype(jnp.float32)
+                s0_row = s_init_ref[0, :]
+            else:
+                init_col = init_ref[:]                    # (S_pad, 1)
+                s0 = jnp.sum(init_col)
+                ad0 = init_col + leaky_c * s0 * leaky_ref[:]
+                ad0_blk = jnp.broadcast_to(ad0, (s_pad, b_tile))
+                s0_row = jnp.full((b_tile,), s0, jnp.float32)
+            ad[:] = ad0_blk
+            s_scr[0, :] = s0_row
+            ad_last_out[:] = ad0_blk
 
         # no f32 cast of the px slice: the one-hot dots cast their
         # operands to the MXU dtype themselves (E has no diag stratum)
@@ -314,15 +326,24 @@ def _length_masks(lengths, T):
 
 
 def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
-                leaky_coefficient, b_tile, mm, sd, emit_aux=True):
+                leaky_coefficient, b_tile, mm, sd, emit_aux=True,
+                ad_init=None, s_init=None, snap_every=None):
+    """One forward sweep.  Optional knobs for the checkpointed-backward
+    ("ckpt") mode: ``ad_init``/``s_init`` re-enter the recurrence from a
+    streamed snapshot instead of the graph's initial probs (chunk
+    replay); ``snap_every=C`` emits only every C-th alpha row — the
+    output block is revisited across each chunk, so the final write
+    (alpha' at the chunk's last frame) is what lands in HBM — instead
+    of the full (T, S_pad, B) history."""
     T, p_eff, B = px_tm.shape
     s_pad = fa.s_pad
     nb = B // b_tile
+    ext_init = ad_init is not None
     w1, w2 = _WK(fa.w1, mm), _WK(fa.w2, mm)
     ef = _WK(fa.e_f, mm)
     eg = None if fa.xsrc_mode == "identity" else _WK(fa.e_g, mm)
     kernel = _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd,
-                                 emit_aux)
+                                 emit_aux, ext_init=ext_init)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -333,23 +354,51 @@ def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
                                     memory_space=pltpu.VMEM)
 
     wks = [w1, w2, ef] + ([eg] if eg else [])
+    block_sb = lambda: pl.BlockSpec((s_pad, b_tile), lambda b, t: (0, b),
+                                    memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
         stream(8),                                        # mask rows
         res_col(), res_col(),                             # init, leaky
+    ]
+    operands = [jnp.asarray(leaky_coefficient,
+                            jnp.float32).reshape(1, 1),
+                masks, fa.initial[:, None], fa.leaky[:, None]]
+    if ext_init:
+        in_specs += [
+            block_sb(),                                   # ad_init
+            pl.BlockSpec((1, b_tile), lambda b, t: (0, b),
+                         memory_space=pltpu.VMEM),        # s_init
+        ]
+        operands += [ad_init, s_init.reshape(1, B)]
+    in_specs += [
         *[w_spec(a) for w in wks for a in w.arrays],
         stream(p_eff),                                    # px
     ]
+    operands += [a for w in wks for a in w.arrays]
+    operands.append(px_tm)
+    if snap_every is None:
+        ad_spec = stream(s_pad)
+        ad_shape = jax.ShapeDtypeStruct((T, s_pad, B), sd)
+    else:
+        # every write within a chunk revisits the SAME output block:
+        # Pallas keeps it in VMEM until the index changes, so only the
+        # chunk's final alpha' row is flushed to HBM — T//C snapshots.
+        C = snap_every
+        nc = -(-T // C)
+        ad_spec = pl.BlockSpec((1, s_pad, b_tile),
+                               lambda b, t: (t // C, 0, b),
+                               memory_space=pltpu.VMEM)
+        ad_shape = jax.ShapeDtypeStruct((nc, s_pad, B), sd)
     out_specs = [
-        stream(s_pad),                                    # ad_ys
+        ad_spec,                                          # ad_ys / snaps
         pl.BlockSpec((1, 8, b_tile), lambda b, t: (t, 0, b),
                      memory_space=pltpu.VMEM),            # s_ys
-        pl.BlockSpec((s_pad, b_tile), lambda b, t: (0, b),
-                     memory_space=pltpu.VMEM),            # ad_last
+        block_sb(),                                       # ad_last
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((T, s_pad, B), sd),
+        ad_shape,
         jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
         jax.ShapeDtypeStruct((s_pad, B), jnp.float32),
     ]
@@ -378,11 +427,7 @@ def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(jnp.asarray(leaky_coefficient, jnp.float32).reshape(1, 1),
-      masks,
-      fa.initial[:, None], fa.leaky[:, None],
-      *[a for w in wks for a in w.arrays],
-      px_tm)
+    )(*operands)
 
 
 # ----------------------------------------------------------------------
@@ -390,7 +435,8 @@ def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
 # ----------------------------------------------------------------------
 
 def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
-                        p_pad, b_tile, sd, w1=None, ef=None, eg=None):
+                        p_pad, b_tile, sd, w1=None, ef=None, eg=None,
+                        ext_init=False, chunked=False):
     # The bwd kernel is MXU-BOUND (w1t dense + w2t + eft scatter tiles
     # already sum to ~6 us/step of peak-MXU work at the headline size).
     # In the default "full" stream mode, everything the fwd sweep
@@ -414,6 +460,11 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
         (lc_ref, m_ref, bdfin_ref, init_ref, leaky_ref,
          s_all_ref) = refs[:6]
         o = 6
+        ad_init_ref = bd_init_ref = None
+        if ext_init:
+            ad_init_ref = refs[o]; o += 1
+        if chunked:
+            bd_init_ref = refs[o]; o += 1
         w1t_refs = refs[o:o + n[0]]; o += n[0]
         w2t_refs = refs[o:o + n[1]]; o += n[1]
         eft_refs = refs[o:o + n[2]]; o += n[2]
@@ -432,6 +483,9 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
             o += 0 if identity else 1
         gamma_out, ab_out, gs_out = refs[o:o + 3]
         o += 3
+        bd_out_ref = None
+        if chunked:
+            bd_out_ref = refs[o]; o += 1
         bd, acc, gacc = refs[o:o + 3]
         if lean:
             w1fwd_scr, xdst_scr = refs[o + 3:o + 5]
@@ -443,7 +497,13 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
 
         @pl.when(g == 0)
         def _():
-            bd[:] = jnp.zeros((s_pad, b_tile), jnp.float32)
+            if chunked:
+                # checkpointed-backward chunk: the beta carry continues
+                # from the chunk above (processed earlier in the
+                # reverse chunk scan)
+                bd[:] = bd_init_ref[:]
+            else:
+                bd[:] = jnp.zeros((s_pad, b_tile), jnp.float32)
 
         leaky_col = leaky_ref[:]
 
@@ -461,11 +521,17 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
             xsrc = (xsrc_ref[0].astype(jnp.float32)
                     if xsrc_ref is not None else xdst)
 
-        # alpha'(u): streamed ys block u-1, or rebuilt ad0 when u == 0
-        init_col = init_ref[:]
-        s0 = jnp.sum(init_col)
-        ad0 = jnp.broadcast_to(init_col + leaky_c * s0 * leaky_col,
-                               (s_pad, b_tile))
+        # alpha'(u): streamed ys block u-1, or — at the sweep's first
+        # frame — the entry state: a streamed snapshot (ckpt chunks) or
+        # the rebuilt ad0 (scalar-condition select: free, unlike the
+        # lane-varying kind)
+        if ext_init:
+            ad0 = ad_init_ref[:].astype(jnp.float32)
+        else:
+            init_col = init_ref[:]
+            s0 = jnp.sum(init_col)
+            ad0 = jnp.broadcast_to(init_col + leaky_c * s0 * leaky_col,
+                                   (s_pad, b_tile))
         ad_u = jnp.where(u == 0, ad0, ad_prev_ref[0].astype(jnp.float32))
 
         # beta' injection at each sequence's final frame, via the exact
@@ -518,18 +584,31 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
 
         bd[:] = bd_t
         ab_out[0, 0, :] = jnp.sum(ad_u * bd_t, axis=0)
+        if chunked:
+            # after the chunk's last step, bd_t is the carry the NEXT
+            # chunk down (global frames below this one) resumes from
+            @pl.when(g == T - 1)
+            def _():
+                bd_out_ref[:] = bd_t
 
     return kernel
 
 
 def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
                 px_tm, s_all, masks, tot_prob, leaky_coefficient,
-                b_tile, mm, sd):
+                b_tile, mm, sd, ad_init=None, bd_init=None):
+    """One backward sweep.  ``ad_init`` supplies alpha' at the frame
+    below the sweep's first (ckpt chunk replay; defaults to the graph's
+    rebuilt ad0); ``bd_init`` resumes the beta carry from the chunk
+    above and additionally returns the final carry for the chunk below.
+    """
     T, _, B = ad_ys.shape
     s_pad = fa.s_pad
     p_pad = fa.p_pad
     nb = B // b_tile
     lean = w1ad_ys is None
+    ext_init = ad_init is not None
+    chunked = bd_init is not None
     w1t, w2t = _WK(fa.w1t, mm), _WK(fa.w2t, mm)
     eft = _WK(fa.e_ft, mm)
     identity = fa.xsrc_mode == "identity"
@@ -539,7 +618,8 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
     eg = _WK(fa.e_g, mm) if (lean and not identity) else None
     kernel = _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T,
                                  s_pad, p_pad, b_tile, sd,
-                                 w1=w1, ef=ef, eg=eg)
+                                 w1=w1, ef=ef, eg=eg,
+                                 ext_init=ext_init, chunked=chunked)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -555,18 +635,34 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
 
     wks = [w1t, w2t, eft] + ([egt] if egt else []) \
         + ([w1, ef] if lean else []) + ([eg] if eg else [])
+    block_sb = lambda: pl.BlockSpec((s_pad, b_tile), lambda b, t: (0, b),
+                                    memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
         rev(8),                                           # mask rows (u)
-        pl.BlockSpec((s_pad, b_tile), lambda b, t: (0, b),
-                     memory_space=pltpu.VMEM),            # bd_fin
+        block_sb(),                                       # bd_fin
         res_col(), res_col(),                             # init, leaky
-        pl.BlockSpec((T + 1, b_tile), lambda b, t: (0, b),
+        pl.BlockSpec((s_all.shape[0], b_tile), lambda b, t: (0, b),
                      memory_space=pltpu.VMEM),            # s_all
+    ]
+    operands = [jnp.asarray(leaky_coefficient,
+                            jnp.float32).reshape(1, 1),
+                masks,
+                (fa.final[:, None] /
+                 tot_prob.reshape(1, B).astype(jnp.float32)),  # bd_fin
+                fa.initial[:, None], fa.leaky[:, None], s_all]
+    if ext_init:
+        in_specs.append(block_sb())                       # ad_init
+        operands.append(ad_init)
+    if chunked:
+        in_specs.append(block_sb())                       # bd_init
+        operands.append(bd_init)
+    in_specs += [
         *[w_spec(a) for w in wks for a in w.arrays],
         rev_shift,                                        # ad_ys (u-1)
     ]
+    operands += [a for w in wks for a in w.arrays]
     if lean:
         in_specs.append(rev(px_tm.shape[1]))              # px(u)
     else:
@@ -585,6 +681,9 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
         jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
         jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
     ]
+    if chunked:
+        out_specs.append(block_sb())                      # bd carry out
+        out_shape.append(jax.ShapeDtypeStruct((s_pad, B), jnp.float32))
     scratch = [
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # bd carry
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # acc
@@ -600,6 +699,7 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
         streams = [ad_ys, w1ad_ys, xdst_ys]
         if not identity:
             streams.append(xsrc_ys)
+    operands += streams
     return pl.pallas_call(
         kernel,
         grid=(nb, T),
@@ -611,13 +711,7 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(jnp.asarray(leaky_coefficient, jnp.float32).reshape(1, 1),
-      masks,
-      (fa.final[:, None] /
-       tot_prob.reshape(1, B).astype(jnp.float32)),       # bd_fin
-      fa.initial[:, None], fa.leaky[:, None],
-      s_all, *[a for w in wks for a in w.arrays],
-      *streams)
+    )(*operands)
 
 
 # ----------------------------------------------------------------------
@@ -628,21 +722,31 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
 # W1@alpha', x_dst (+x_src)); beyond this byte budget the "lean" mode
 # keeps only alpha and recomputes the rest in the bwd kernel (~30%
 # slower per step, a third of the HBM footprint) — long-T batches.
+# Beyond LEAN_BUDGET for even the single alpha stream, the "ckpt" mode
+# (checkpointed backward) stores only every C-th alpha row and replays
+# each chunk's forward during the backward sweep: O(T/C + C) alpha
+# residency, one extra forward recompute (~1.5x step time).
 STREAM_BUDGET = 4 * 1024 * 1024 * 1024
+LEAN_BUDGET = 4 * 1024 * 1024 * 1024
 
 
 def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
                                  leaky_coefficient=1e-5,
                                  b_tile: int = 128,
-                                 stream_mode: str = "auto") -> FwdBwdResult:
+                                 stream_mode: str = "auto",
+                                 ckpt_chunk: int = None) -> FwdBwdResult:
     """Fast-mode fused fwd+bwd on a fully-factorized graph.
 
     px: (B, T, P) exp'd clamped nnet output (float32).  Matches the XLA
     factorized path semantics with bfloat16 matmul/storage quantisation.
     stream_mode: "full" (fwd emits W1@alpha' and the emission rows for
     the bwd sweep — fastest), "lean" (alpha stream only, bwd recomputes
-    — a third of the HBM footprint for long T), or "auto" (full within
-    STREAM_BUDGET bytes of streams).
+    — a third of the HBM footprint for long T), "ckpt" (checkpointed
+    backward: sqrt(T)-spaced alpha snapshots + per-chunk forward replay
+    — O(sqrt(T)) alpha residency for very long T, one extra forward
+    recompute), or "auto" (cheapest mode whose streams fit the
+    budgets).  ckpt_chunk overrides the ckpt chunk length C (default
+    ~sqrt(T) rounded to a multiple of 8).
     """
     if not supports(fa):
         raise ValueError("pallas path requires a fully factorized graph")
@@ -674,8 +778,17 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
 
     if stream_mode == "auto":
         n_streams = 3 if fa.xsrc_mode == "identity" else 4
-        stream_bytes = n_streams * T * s_pad * B * jnp.dtype(sd).itemsize
-        stream_mode = "full" if stream_bytes <= STREAM_BUDGET else "lean"
+        row_bytes = T * s_pad * B * jnp.dtype(sd).itemsize
+        if n_streams * row_bytes <= STREAM_BUDGET:
+            stream_mode = "full"
+        elif row_bytes <= LEAN_BUDGET:
+            stream_mode = "lean"
+        else:
+            stream_mode = "ckpt"
+    if stream_mode == "ckpt":
+        return _forward_backward_ckpt(
+            px, px_tm, lengths, fa, leaky_coefficient, b_tile, mm, sd,
+            ckpt_chunk)
     if stream_mode not in ("full", "lean"):
         raise ValueError(f"unknown stream_mode {stream_mode!r}")
     emit_aux = stream_mode == "full"
@@ -688,22 +801,32 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
         w1ad_ys, xdst_ys = fwd_out[3:5]
         if fa.xsrc_mode != "identity":
             xsrc_ys = fwd_out[5]
-    s_ys = s_ys8[:, 0, :]                                 # (T, B)
 
-    s0 = jnp.full((B,), fa.initial.sum(), px.dtype)
-    s_all = jnp.concatenate([s0[None], s_ys], axis=0)     # (T+1, B)
-
-    # objf: sum_{u < T_b} log s_u + log(sum alpha'(T_b) * final)
-    ts = jnp.arange(T + 1, dtype=jnp.int32)
-    loglike = jnp.where(ts[:, None] < lengths[None, :],
-                        jnp.log(jnp.maximum(s_all, 1e-30)), 0.0).sum(0)
-    tot_prob = (ad_last * fa.final[:, None]).sum(axis=0)
-    objf = loglike + jnp.log(tot_prob)
+    s_all, objf, tot_prob = _objf_pallas(s_ys8, ad_last, lengths, fa,
+                                         T, px.dtype)
 
     gamma_ys, ab8, gs8 = _bwd_pallas(
         fa, ad_ys, w1ad_ys, xdst_ys, xsrc_ys, px_tm, s_all, masks,
         tot_prob, leaky_coefficient, b_tile, mm, sd)
 
+    return _package_result(objf, gamma_ys, ab8, gs8, P, px.dtype)
+
+
+def _objf_pallas(s_ys8, ad_last, lengths, fa, T, dtype):
+    """objf = sum_{u < T_b} log s_u + log(sum alpha'(T_b) * final).
+    Returns (s_all (T+1, B), objf (B,), tot_prob (B,))."""
+    s_ys = s_ys8[:, 0, :]                                 # (T, B)
+    B = s_ys.shape[1]
+    s0 = jnp.full((B,), fa.initial.sum(), dtype)
+    s_all = jnp.concatenate([s0[None], s_ys], axis=0)     # (T+1, B)
+    ts = jnp.arange(T + 1, dtype=jnp.int32)
+    loglike = jnp.where(ts[:, None] < lengths[None, :],
+                        jnp.log(jnp.maximum(s_all, 1e-30)), 0.0).sum(0)
+    tot_prob = (ad_last * fa.final[:, None]).sum(axis=0)
+    return s_all, loglike + jnp.log(tot_prob), tot_prob
+
+
+def _package_result(objf, gamma_ys, ab8, gs8, P, dtype) -> FwdBwdResult:
     # compact posterior: exactly (T, P, B) in the kernel's storage dtype
     gamma_tm = gamma_ys
     if gamma_tm.shape[1] < P:
@@ -711,10 +834,82 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
                            ((0, 0), (0, P - gamma_tm.shape[1]), (0, 0)))
     elif gamma_tm.shape[1] > P:
         gamma_tm = gamma_tm[:, :P, :]
-    gamma = jnp.transpose(gamma_tm, (2, 0, 1)).astype(px.dtype)
+    gamma = jnp.transpose(gamma_tm, (2, 0, 1)).astype(dtype)
 
     alpha_beta = jnp.transpose(ab8[:, 0, :], (1, 0))      # (B, T)
     gamma_sum = jnp.transpose(gs8[:, 0, :], (1, 0))
     ok = _ok_flags(objf, alpha_beta, gamma_sum)
     return FwdBwdResult(objf, gamma, ok, alpha_beta, gamma_sum,
                         gamma_tm=gamma_tm)
+
+
+def _forward_backward_ckpt(px, px_tm, lengths, fa: FactorizedArrays,
+                           leaky_coefficient, b_tile, mm, sd,
+                           ckpt_chunk=None) -> FwdBwdResult:
+    """Checkpointed backward: the forward sweep stores only every C-th
+    alpha row (C ~ sqrt(T)); the backward scan replays each C-frame
+    chunk's forward from its snapshot (emitting the full-mode aux
+    streams for just that chunk) and carries beta across chunks.  Alpha
+    residency drops from O(T) rows to O(T/C + C); the price is one
+    extra forward pass.  In float32 parity tiles the result is
+    IDENTICAL to the "full" mode (same kernels, same arithmetic); with
+    bfloat16 tiles the replayed alphas differ only by the snapshot
+    rounding (same class as the full mode's bf16 alpha stream)."""
+    B, T, P = px.shape
+    s_pad = fa.s_pad
+    p_eff = px_tm.shape[1]
+
+    C = ckpt_chunk if ckpt_chunk else max(8, -8 * (-int(T ** 0.5) // 8))
+    C = min(C, T)
+    nc = -(-T // C)
+    T_pad = nc * C
+    if T_pad != T:
+        # pad frames with px = 1 (exp(0)): keeps every quantity finite
+        # (the kernels rely on px > 0 past sequence end; a 0 would turn
+        # the self-normalising junk alpha into NaN via 0/0)
+        px_tm = jnp.concatenate(
+            [px_tm, jnp.ones((T_pad - T, p_eff, B), px_tm.dtype)], axis=0)
+    masks = _length_masks(lengths, T_pad)
+
+    # phase 1: snapshot forward — alpha' at each chunk's last frame
+    snaps, s_ys8, ad_last = _fwd_pallas(
+        fa, px_tm, masks, leaky_coefficient, b_tile, mm, sd,
+        emit_aux=False, snap_every=C)
+
+    s_all, objf, tot_prob = _objf_pallas(s_ys8, ad_last, lengths, fa,
+                                         T_pad, px.dtype)
+
+    # phase 2: reverse chunk scan — replay fwd from the snapshot below,
+    # then run the chunk's backward with the carried beta
+    s0 = fa.initial.sum()
+    ad0 = fa.initial + leaky_coefficient * s0 * fa.leaky    # (S_pad,)
+    ad0_full = jnp.broadcast_to(ad0[:, None], (s_pad, B)).astype(sd)
+    inits = jnp.concatenate([ad0_full[None], snaps[:-1]], axis=0)
+    px_chunks = px_tm.reshape(nc, C, p_eff, B)
+    mask_chunks = masks.reshape(nc, C, 8, B)
+    ks = jnp.arange(nc, dtype=jnp.int32)
+    identity = fa.xsrc_mode == "identity"
+
+    def body(bd_carry, xs):
+        k, ad_init_k, px_c, m_c = xs
+        s_c = jax.lax.dynamic_slice(s_all, (k * C, 0), (C, B))
+        fwd_c = _fwd_pallas(fa, px_c, m_c, leaky_coefficient, b_tile,
+                            mm, sd, emit_aux=True,
+                            ad_init=ad_init_k, s_init=s_c[0])
+        ad_c = fwd_c[0]
+        w1ad_c, xdst_c = fwd_c[3:5]
+        xsrc_c = None if identity else fwd_c[5]
+        gamma_c, ab8_c, gs8_c, bd_next = _bwd_pallas(
+            fa, ad_c, w1ad_c, xdst_c, xsrc_c, px_c, s_c, m_c,
+            tot_prob, leaky_coefficient, b_tile, mm, sd,
+            ad_init=ad_init_k, bd_init=bd_carry)
+        return bd_next, (gamma_c, ab8_c, gs8_c)
+
+    bd0 = jnp.zeros((s_pad, B), jnp.float32)
+    _, (gamma_cs, ab_cs, gs_cs) = jax.lax.scan(
+        body, bd0, (ks, inits, px_chunks, mask_chunks), reverse=True)
+
+    gamma_ys = gamma_cs.reshape(T_pad, fa.p_pad, B)[:T]
+    ab8 = ab_cs.reshape(T_pad, 8, B)[:T]
+    gs8 = gs_cs.reshape(T_pad, 8, B)[:T]
+    return _package_result(objf, gamma_ys, ab8, gs8, P, px.dtype)

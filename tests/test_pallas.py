@@ -160,3 +160,97 @@ def test_pallas_lean_stream_mode_matches_full(fwd_mode):
 
     with pytest.raises(ValueError, match="stream_mode"):
         forward_backward_prob_pallas(px, lengths, fa, stream_mode="bogus")
+
+
+@pytest.mark.parametrize("fwd_mode", ["source", "cross", "separate"])
+def test_pallas_ckpt_stream_mode_matches_full(fwd_mode):
+    """Checkpointed backward (sqrt(T) alpha snapshots + per-chunk
+    forward replay) must be BIT-IDENTICAL to the full mode in f32
+    parity tiles: same kernels, same arithmetic, different residency.
+    Covers non-divisible T (T=11, C=4 -> padded to 12), unequal
+    lengths, a single-chunk batch (C >= T), and the default C."""
+    from pychain_tpu.ops.pallas_fact import forward_backward_prob_pallas
+
+    rng = np.random.RandomState(7)
+    den_fst, P = denominator_fst(num_phones=9, states_per_phone=2,
+                                 seed=7, forward_pdf_mode=fwd_mode)
+    den = ChainGraph(den_fst, log_domain=False)
+    B, T = 3, 11
+    batch = ChainGraphBatch(den, B)
+    fa = batch._fact
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    px = jnp.exp(jnp.clip(x, -30, 30))
+    lengths = jnp.array([11, 7, 2], jnp.int32)
+
+    full = forward_backward_prob_pallas(px, lengths, fa,
+                                        stream_mode="full")
+    for chunk in (4, 64, None):
+        ck = forward_backward_prob_pallas(px, lengths, fa,
+                                          stream_mode="ckpt",
+                                          ckpt_chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(ck.objf),
+                                      np.asarray(full.objf))
+        np.testing.assert_array_equal(np.asarray(ck.gamma),
+                                      np.asarray(full.gamma))
+        assert np.all(np.asarray(ck.ok))
+
+
+def test_pallas_ckpt_bf16_within_snapshot_rounding():
+    """With bfloat16 tiles the replayed alphas differ from the full
+    mode only by snapshot rounding — same error class as the full
+    mode's bf16 alpha stream."""
+    from pychain_tpu.ops.pallas_fact import forward_backward_prob_pallas
+
+    rng = np.random.RandomState(3)
+    den_fst, P = denominator_fst(num_phones=8, states_per_phone=2, seed=3)
+    den = ChainGraph(den_fst, log_domain=False)
+    B, T = 2, 9
+    batch = ChainGraphBatch(den, B, tile_dtype="bfloat16")
+    fa = batch._fact
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    px = jnp.exp(jnp.clip(x, -30, 30))
+    lengths = jnp.array([9, 5], jnp.int32)
+
+    full = forward_backward_prob_pallas(px, lengths, fa,
+                                        stream_mode="full")
+    ck = forward_backward_prob_pallas(px, lengths, fa,
+                                      stream_mode="ckpt", ckpt_chunk=4)
+    np.testing.assert_allclose(np.asarray(ck.objf), np.asarray(full.objf),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(ck.gamma),
+                               np.asarray(full.gamma),
+                               rtol=2e-2, atol=2e-2)
+    assert np.all(np.asarray(ck.ok))
+
+
+def test_pallas_auto_selects_ckpt_beyond_lean_budget(monkeypatch):
+    """auto mode: full within STREAM_BUDGET, lean within LEAN_BUDGET,
+    ckpt beyond both (very long T)."""
+    import pychain_tpu.ops.pallas_fact as pf
+
+    rng = np.random.RandomState(5)
+    den_fst, P = denominator_fst(num_phones=8, states_per_phone=2, seed=5)
+    den = ChainGraph(den_fst, log_domain=False)
+    B, T = 2, 10
+    batch = ChainGraphBatch(den, B)
+    fa = batch._fact
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    px = jnp.exp(jnp.clip(x, -30, 30))
+    lengths = jnp.array([10, 6], jnp.int32)
+
+    full = pf.forward_backward_prob_pallas(px, lengths, fa)
+
+    seen = {}
+    real = pf._forward_backward_ckpt
+
+    def spy(*a, **k):
+        seen["ckpt"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(pf, "_forward_backward_ckpt", spy)
+    monkeypatch.setattr(pf, "STREAM_BUDGET", 1)
+    monkeypatch.setattr(pf, "LEAN_BUDGET", 1)
+    auto = pf.forward_backward_prob_pallas(px, lengths, fa)
+    assert seen.get("ckpt")
+    np.testing.assert_array_equal(np.asarray(auto.objf),
+                                  np.asarray(full.objf))
