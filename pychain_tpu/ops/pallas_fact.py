@@ -772,9 +772,11 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     # (hidden under the stream DMA) — pre-gathered x_dst/x_src streams
     # cost 2-3 extra full XLA memory passes per batch and, for graphs
     # with separate forward pdfs, a second (T, S_pad, B) stream.
+    if ckpt_chunk is not None and (not isinstance(ckpt_chunk, int)
+                                   or ckpt_chunk <= 0):
+        raise ValueError(f"ckpt_chunk must be a positive int, got "
+                         f"{ckpt_chunk!r}")
     px_tm = px_time_major(px, fa, dtype=sd)               # (T, P_eff, B)
-
-    masks = _length_masks(lengths, T)
 
     if stream_mode == "auto":
         n_streams = 3 if fa.xsrc_mode == "identity" else 4
@@ -792,6 +794,8 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     if stream_mode not in ("full", "lean"):
         raise ValueError(f"unknown stream_mode {stream_mode!r}")
     emit_aux = stream_mode == "full"
+
+    masks = _length_masks(lengths, T)
 
     fwd_out = _fwd_pallas(
         fa, px_tm, masks, leaky_coefficient, b_tile, mm, sd, emit_aux)
@@ -859,7 +863,8 @@ def _forward_backward_ckpt(px, px_tm, lengths, fa: FactorizedArrays,
     s_pad = fa.s_pad
     p_eff = px_tm.shape[1]
 
-    C = ckpt_chunk if ckpt_chunk else max(8, -8 * (-int(T ** 0.5) // 8))
+    C = (ckpt_chunk if ckpt_chunk is not None
+         else max(8, -8 * (-int(T ** 0.5) // 8)))
     C = min(C, T)
     nc = -(-T // C)
     T_pad = nc * C

@@ -248,9 +248,27 @@ def test_pallas_auto_selects_ckpt_beyond_lean_budget(monkeypatch):
         return real(*a, **k)
 
     monkeypatch.setattr(pf, "_forward_backward_ckpt", spy)
+
+    # full over budget, single alpha stream within -> lean
+    row = T * fa.s_pad * B * 4
+    monkeypatch.setattr(pf, "STREAM_BUDGET", row)   # < 3 streams
+    monkeypatch.setattr(pf, "LEAN_BUDGET", row)     # >= 1 stream
+    lean = pf.forward_backward_prob_pallas(px, lengths, fa)
+    assert not seen.get("ckpt")
+    np.testing.assert_array_equal(np.asarray(lean.objf),
+                                  np.asarray(full.objf))
+
+    # both budgets exceeded -> ckpt
     monkeypatch.setattr(pf, "STREAM_BUDGET", 1)
     monkeypatch.setattr(pf, "LEAN_BUDGET", 1)
     auto = pf.forward_backward_prob_pallas(px, lengths, fa)
     assert seen.get("ckpt")
     np.testing.assert_array_equal(np.asarray(auto.objf),
                                   np.asarray(full.objf))
+
+    with pytest.raises(ValueError, match="ckpt_chunk"):
+        pf.forward_backward_prob_pallas(px, lengths, fa,
+                                        stream_mode="ckpt", ckpt_chunk=-4)
+    with pytest.raises(ValueError, match="ckpt_chunk"):
+        pf.forward_backward_prob_pallas(px, lengths, fa,
+                                        stream_mode="ckpt", ckpt_chunk=0)
