@@ -155,7 +155,11 @@ def _zero_ct(x):
     return np.zeros(jnp.shape(x), jax.dtypes.float0)
 
 
-def _run(x, lengths, g, leaky_coefficient) -> FwdBwdResult:
+def _run(x, lengths, g, leaky_coefficient, debug=True) -> FwdBwdResult:
+    """debug=False lets the Pallas engine skip the per-frame invariant
+    traces (checked at frame 0 only, the reference's default) — used by
+    the plain objective path, whose residual discards them anyway; the
+    aux path always computes the full traces."""
     x = jnp.clip(x, -CLAMP, CLAMP)
     lengths = lengths.astype(jnp.int32)
     if isinstance(g, LinearArrays):
@@ -172,7 +176,8 @@ def _run(x, lengths, g, leaky_coefficient) -> FwdBwdResult:
         if g.engine == "pallas":
             from .ops.pallas_fact import forward_backward_prob_pallas
             return forward_backward_prob_pallas(jnp.exp(x), lengths, g,
-                                                leaky_coefficient)
+                                                leaky_coefficient,
+                                                debug=debug)
         return forward_backward_prob_fact(jnp.exp(x), lengths, g,
                                           leaky_coefficient)
     if g.leaky is not None:
@@ -185,7 +190,7 @@ def _run(x, lengths, g, leaky_coefficient) -> FwdBwdResult:
 
 @jax.custom_vjp
 def _chain_objf(x, lengths, g: GraphArrays, leaky_coefficient):
-    res = _run(x, lengths, g, leaky_coefficient)
+    res = _run(x, lengths, g, leaky_coefficient, debug=False)
     return res.objf.sum()
 
 
@@ -208,7 +213,7 @@ def _residual(res: FwdBwdResult):
 
 
 def _chain_objf_fwd(x, lengths, g, leaky_coefficient):
-    res = _run(x, lengths, g, leaky_coefficient)
+    res = _run(x, lengths, g, leaky_coefficient, debug=False)
     x_proto = jnp.zeros((0,), x.dtype)  # carries the input dtype only
     return res.objf.sum(), (_residual(res), x_proto, lengths, g,
                             leaky_coefficient)

@@ -216,8 +216,8 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd,
     n = [w1.n_args, w2.n_args, ef.n_args, eg.n_args if eg else 0]
 
     def kernel(*refs):
-        (lc_ref, m_ref, init_ref, leaky_ref) = refs[:4]
-        o = 4
+        (lc_ref, m_ref, flag_ref, init_ref, leaky_ref) = refs[:5]
+        o = 5
         ad_init_ref = s_init_ref = None
         if ext_init:
             ad_init_ref, s_init_ref = refs[o:o + 2]
@@ -304,10 +304,15 @@ def _fwd_kernel_factory(w1, w2, ef, eg, T, s_pad, b_tile, sd,
         # Captured with exact {0,1} float mask rows precomputed outside
         # (eq = [lengths == t+1], neq = 1-eq): multiply-add keeps the
         # overlap that a vector select would destroy, and is exact
-        # because one of the two coefficients is always zero.
-        eq = m_ref[0, 0:1, :]                             # (1, Bt)
-        neq = m_ref[0, 1:2, :]
-        ad_last_out[:] = ad_last_out[:] * neq + ad_t * eq
+        # because one of the two coefficients is always zero.  The
+        # whole update is pl.when-skipped (scalar condition: free) on
+        # frames where no sequence ends — there it is an exact identity
+        # (ad_last * 1 + ad_t * 0) costing three (S_pad, Bt) passes.
+        @pl.when(flag_ref[t] != 0)
+        def _():
+            eq = m_ref[0, 0:1, :]                         # (1, Bt)
+            neq = m_ref[0, 1:2, :]
+            ad_last_out[:] = ad_last_out[:] * neq + ad_t * eq
 
     return kernel
 
@@ -323,6 +328,22 @@ def _length_masks(lengths, T):
     eq = (lengths[None, :] == (ts[:, None] + 1)).astype(jnp.float32)
     rows = jnp.stack([eq, 1.0 - eq], axis=1)              # (T, 2, B)
     return jnp.pad(rows, ((0, 0), (0, 6), (0, 0)))        # (T, 8, B)
+
+
+def _end_flags_of(masks):
+    """(T, 1) int32 scalar-per-frame flags off the mask stream: 1 iff
+    ANY sequence ends at frame t (mask row 0 is the exact {0,1} eq
+    row).  Read from SMEM by the kernels to pl.when-skip the boundary
+    multiply-adds (alpha'(T_b) capture, beta' injection) on frames
+    where they are an exact identity — most frames of a bucketed
+    batch, every frame but the last for equal lengths.  A scalar
+    condition is free where a lane-varying one serialises the
+    pipeline.  Derived from the masks (not lengths) so per-chunk
+    slices in the ckpt mode stay consistent automatically.  Returned
+    as a flat (T,) vector kept WHOLE in SMEM (a (1, 1) per-step block
+    violates the Mosaic (8, 128) block-divisibility rule); the kernels
+    index it dynamically with the step id."""
+    return (masks[:, 0, :].sum(axis=1) > 0).astype(jnp.int32)
 
 
 def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
@@ -360,11 +381,13 @@ def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
         stream(8),                                        # mask rows
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # end flags (T,)
         res_col(), res_col(),                             # init, leaky
     ]
     operands = [jnp.asarray(leaky_coefficient,
                             jnp.float32).reshape(1, 1),
-                masks, fa.initial[:, None], fa.leaky[:, None]]
+                masks, _end_flags_of(masks),
+                fa.initial[:, None], fa.leaky[:, None]]
     if ext_init:
         in_specs += [
             block_sb(),                                   # ad_init
@@ -436,7 +459,7 @@ def _fwd_pallas(fa: FactorizedArrays, px_tm, masks,
 
 def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
                         p_pad, b_tile, sd, w1=None, ef=None, eg=None,
-                        ext_init=False, chunked=False):
+                        ext_init=False, chunked=False, debug=True):
     # The bwd kernel is MXU-BOUND (w1t dense + w2t + eft scatter tiles
     # already sum to ~6 us/step of peak-MXU work at the headline size).
     # In the default "full" stream mode, everything the fwd sweep
@@ -457,9 +480,9 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
          eg.n_args if (lean and eg) else 0]
 
     def kernel(*refs):
-        (lc_ref, m_ref, bdfin_ref, init_ref, leaky_ref,
-         s_all_ref) = refs[:6]
-        o = 6
+        (lc_ref, m_ref, flag_ref, bdfin_ref, init_ref, leaky_ref,
+         s_all_ref) = refs[:7]
+        o = 7
         ad_init_ref = bd_init_ref = None
         if ext_init:
             ad_init_ref = refs[o]; o += 1
@@ -540,11 +563,19 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
         # the multiply-add form is exact).  No other length handling is
         # needed in this kernel: past a sequence's end bd stays 0, so
         # gamma, alpha*beta and the carried beta' are all exactly 0.
-        eq = m_ref[0, 0:1, :]                             # (1, Bt)
-        neq = m_ref[0, 1:2, :]
+        # The injection mutates the carry IN PLACE under a scalar
+        # pl.when so frames where no sequence ends (flag == 0, where
+        # the multiply-add is an exact identity) skip all three
+        # (S_pad, Bt) passes; bd is overwritten with bd_t at the end
+        # of the step either way.
         # bd_fin = final/tot is step-independent: precomputed outside
         # (one XLA pass per batch vs a full-matrix divide per step)
-        bd_eff = bd[:] * neq + bdfin_ref[:] * eq
+        @pl.when(flag_ref[u] != 0)
+        def _():
+            eq = m_ref[0, 0:1, :]                         # (1, Bt)
+            neq = m_ref[0, 1:2, :]
+            bd[:] = bd[:] * neq + bdfin_ref[:] * eq
+        bd_eff = bd[:]
         b_next = bd_eff + leaky_c * jnp.sum(
             bd_eff * leaky_col, axis=0, keepdims=True)
 
@@ -580,10 +611,27 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
             egt.apply(egt_refs, c2, gacc, accumulate=True)  # += E_g^T c2
         gamma_t = gacc[:] * inv
         gamma_out[0] = gamma_t.astype(sd)
-        gs_out[0, 0, :] = jnp.sum(gacc[:], axis=0) * inv[0]
-
         bd[:] = bd_t
-        ab_out[0, 0, :] = jnp.sum(ad_u * bd_t, axis=0)
+
+        if debug:
+            # full invariant traces: sum gamma(t) and sum alpha'*beta^
+            # per frame — two to three (S_pad/P_pad, Bt) passes per
+            # step on the serial VPU chain
+            gs_out[0, 0, :] = jnp.sum(gacc[:], axis=0) * inv[0]
+            ab_out[0, 0, :] = jnp.sum(ad_u * bd_t, axis=0)
+        else:
+            # reference-default behavior: check the invariants at
+            # frame 0 only (chain-computation.cc:337-338 checks every
+            # frame only at verbose >= 1); other frames report the
+            # nominal 1.0.  Saves the reduction passes on every step.
+            one = jnp.ones((b_tile,), jnp.float32)
+            gs_out[0, 0, :] = one
+            ab_out[0, 0, :] = one
+
+            @pl.when(u == 0)
+            def _():
+                gs_out[0, 0, :] = jnp.sum(gacc[:], axis=0) * inv[0]
+                ab_out[0, 0, :] = jnp.sum(ad_u * bd_t, axis=0)
         if chunked:
             # after the chunk's last step, bd_t is the carry the NEXT
             # chunk down (global frames below this one) resumes from
@@ -596,7 +644,7 @@ def _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T, s_pad,
 
 def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
                 px_tm, s_all, masks, tot_prob, leaky_coefficient,
-                b_tile, mm, sd, ad_init=None, bd_init=None):
+                b_tile, mm, sd, ad_init=None, bd_init=None, debug=True):
     """One backward sweep.  ``ad_init`` supplies alpha' at the frame
     below the sweep's first (ckpt chunk replay; defaults to the graph's
     rebuilt ad0); ``bd_init`` resumes the beta carry from the chunk
@@ -619,7 +667,8 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
     kernel = _bwd_kernel_factory(w1t, w2t, eft, egt, identity, T,
                                  s_pad, p_pad, b_tile, sd,
                                  w1=w1, ef=ef, eg=eg,
-                                 ext_init=ext_init, chunked=chunked)
+                                 ext_init=ext_init, chunked=chunked,
+                                 debug=debug)
 
     res_col = lambda: pl.BlockSpec((s_pad, 1), lambda b, t: (0, 0),
                                    memory_space=pltpu.VMEM)
@@ -641,6 +690,7 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
         pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                      memory_space=pltpu.SMEM),            # leaky coeff
         rev(8),                                           # mask rows (u)
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # end flags (T,)
         block_sb(),                                       # bd_fin
         res_col(), res_col(),                             # init, leaky
         pl.BlockSpec((s_all.shape[0], b_tile), lambda b, t: (0, b),
@@ -648,7 +698,7 @@ def _bwd_pallas(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
     ]
     operands = [jnp.asarray(leaky_coefficient,
                             jnp.float32).reshape(1, 1),
-                masks,
+                masks, _end_flags_of(masks),
                 (fa.final[:, None] /
                  tot_prob.reshape(1, B).astype(jnp.float32)),  # bd_fin
                 fa.initial[:, None], fa.leaky[:, None], s_all]
@@ -734,7 +784,8 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
                                  leaky_coefficient=1e-5,
                                  b_tile: int = 128,
                                  stream_mode: str = "auto",
-                                 ckpt_chunk: int = None) -> FwdBwdResult:
+                                 ckpt_chunk: int = None,
+                                 debug: bool = True) -> FwdBwdResult:
     """Fast-mode fused fwd+bwd on a fully-factorized graph.
 
     px: (B, T, P) exp'd clamped nnet output (float32).  Matches the XLA
@@ -747,7 +798,16 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     recompute), or "auto" (cheapest mode whose streams fit the
     budgets).  ckpt_chunk overrides the ckpt chunk length C (default
     ~sqrt(T) rounded to a multiple of 8).
+    debug: with True the alpha*beta and sum-gamma invariant traces are
+    computed at every frame; with False only at frame 0 (the
+    reference's default: chain-computation.cc:337-338 checks every
+    frame only at verbose >= 1), which drops two to three reduction
+    passes from the backward kernel's serial VPU chain — the other
+    frames of the returned traces read exactly 1.0.  Verbose level
+    >= 1 forces the full traces.
     """
+    from ..utils.diagnostics import get_verbose_level
+    debug = debug or get_verbose_level() >= 1
     if not supports(fa):
         raise ValueError("pallas path requires a fully factorized graph")
     B, T, P = px.shape
@@ -790,7 +850,7 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
     if stream_mode == "ckpt":
         return _forward_backward_ckpt(
             px, px_tm, lengths, fa, leaky_coefficient, b_tile, mm, sd,
-            ckpt_chunk)
+            ckpt_chunk, debug)
     if stream_mode not in ("full", "lean"):
         raise ValueError(f"unknown stream_mode {stream_mode!r}")
     emit_aux = stream_mode == "full"
@@ -811,7 +871,7 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
 
     gamma_ys, ab8, gs8 = _bwd_pallas(
         fa, ad_ys, w1ad_ys, xdst_ys, xsrc_ys, px_tm, s_all, masks,
-        tot_prob, leaky_coefficient, b_tile, mm, sd)
+        tot_prob, leaky_coefficient, b_tile, mm, sd, debug=debug)
 
     return _package_result(objf, gamma_ys, ab8, gs8, P, px.dtype)
 
@@ -849,7 +909,7 @@ def _package_result(objf, gamma_ys, ab8, gs8, P, dtype) -> FwdBwdResult:
 
 def _forward_backward_ckpt(px, px_tm, lengths, fa: FactorizedArrays,
                            leaky_coefficient, b_tile, mm, sd,
-                           ckpt_chunk=None) -> FwdBwdResult:
+                           ckpt_chunk=None, debug=True) -> FwdBwdResult:
     """Checkpointed backward: the forward sweep stores only every C-th
     alpha row (C ~ sqrt(T)); the backward scan replays each C-frame
     chunk's forward from its snapshot (emitting the full-mode aux
@@ -907,7 +967,7 @@ def _forward_backward_ckpt(px, px_tm, lengths, fa: FactorizedArrays,
         gamma_c, ab8_c, gs8_c, bd_next = _bwd_pallas(
             fa, ad_c, w1ad_c, xdst_c, xsrc_c, px_c, s_c, m_c,
             tot_prob, leaky_coefficient, b_tile, mm, sd,
-            ad_init=ad_init_k, bd_init=bd_carry)
+            ad_init=ad_init_k, bd_init=bd_carry, debug=debug)
         return bd_next, (gamma_c, ab8_c, gs8_c)
 
     bd0 = jnp.zeros((s_pad, B), jnp.float32)

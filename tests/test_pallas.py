@@ -272,3 +272,43 @@ def test_pallas_auto_selects_ckpt_beyond_lean_budget(monkeypatch):
     with pytest.raises(ValueError, match="ckpt_chunk"):
         pf.forward_backward_prob_pallas(px, lengths, fa,
                                         stream_mode="ckpt", ckpt_chunk=0)
+
+
+def test_pallas_debug_false_traces_frame0_only():
+    """debug=False (the plain-objective path) must leave objf/gamma
+    bit-identical and compute the invariant traces only at frame 0 —
+    the reference's default (chain-computation.cc:337-338) — reporting
+    exactly 1.0 elsewhere.  chain_function's gradient flows through
+    the debug=False primal and must match the aux path's."""
+    from pychain_tpu.ops.pallas_fact import forward_backward_prob_pallas
+
+    rng = np.random.RandomState(9)
+    den_fst, P = denominator_fst(num_phones=8, states_per_phone=2, seed=9)
+    den = ChainGraph(den_fst, log_domain=False)
+    B, T = 3, 7
+    batch = ChainGraphBatch(den, B)
+    fa = batch._fact
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    px = jnp.exp(jnp.clip(x, -30, 30))
+    lengths = jnp.array([7, 5, 2], jnp.int32)
+
+    dbg = forward_backward_prob_pallas(px, lengths, fa)
+    fast = forward_backward_prob_pallas(px, lengths, fa, debug=False)
+    np.testing.assert_array_equal(np.asarray(fast.objf),
+                                  np.asarray(dbg.objf))
+    np.testing.assert_array_equal(np.asarray(fast.gamma),
+                                  np.asarray(dbg.gamma))
+    ab = np.asarray(fast.alpha_beta)
+    gs = np.asarray(fast.gamma_sum)
+    np.testing.assert_allclose(ab[:, 0], np.asarray(dbg.alpha_beta)[:, 0],
+                               rtol=1e-6)
+    assert np.all(ab[:, 1:] == 1.0) and np.all(gs[:, 1:] == 1.0)
+    assert np.all(np.asarray(fast.ok))
+
+    # the public gradient path (debug=False primal) is unchanged
+    g_fast = jax.grad(lambda xx: chain_function(
+        xx, lengths, batch, impl="pallas"))(x)
+    _, aux = chain_function_with_aux(x, lengths, batch, impl="pallas")
+    np.testing.assert_array_equal(
+        np.asarray(g_fast),
+        np.asarray(aux.gamma))  # ct == 1.0: grad IS gamma

@@ -115,6 +115,17 @@ _, g32 = chain_function_with_aux(x, lengths, ChainGraphBatch(den, B),
                                  impl="pallas")
 np.testing.assert_allclose(np.asarray(g32.objf), np.asarray(ref.objf),
                            rtol=1e-5, atol=1e-5)
+
+# checkpointed-backward chunked kernels must also compile on-chip and
+# stay bit-identical to the full stream mode in f32 tiles
+from pychain_tpu.ops.pallas_fact import forward_backward_prob_pallas
+fa = ChainGraphBatch(den, B)._fact
+px = jnp.exp(jnp.clip(x, -30, 30))
+lens_j = jnp.asarray(lengths)
+full = forward_backward_prob_pallas(px, lens_j, fa, stream_mode="full")
+ck = forward_backward_prob_pallas(px, lens_j, fa, stream_mode="ckpt")
+np.testing.assert_array_equal(np.asarray(full.objf), np.asarray(ck.objf))
+np.testing.assert_array_equal(np.asarray(full.gamma), np.asarray(ck.gamma))
 print("TPU-BF16-PARITY-OK S=%d" % den.num_states)
 """
 
@@ -127,8 +138,10 @@ def test_pallas_bf16_on_tpu_hardware():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # generous timeout: compiles through the tunnel are normally tens of
+    # seconds but have been observed at ~400s each under backend load
     proc = subprocess.run(
         [sys.executable, "-c", _TPU_SNIPPET.format(repo=repo)],
-        capture_output=True, text=True, timeout=1500, env=env)
+        capture_output=True, text=True, timeout=2700, env=env)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "TPU-BF16-PARITY-OK" in proc.stdout
