@@ -45,7 +45,9 @@ from pychain_tpu import (ChainGraph, ChainGraphBatch, FST,
 from pychain_tpu.data import (BucketSpec, LengthBucketer, load_scp_entry,
                               pad_to_bucket, read_scp, write_feats_ark,
                               write_scp)
-from pychain_tpu.graphs import write_ark
+from pychain_tpu.graphs import (ChainTopology, alignment_to_pdf_sequence,
+                                estimate_phone_lm, make_denominator_fst,
+                                make_numerator_fst, write_ark)
 from pychain_tpu.loss import chain_loss, dispatch_arrays
 from pychain_tpu.models import BLSTM, BLSTMConfig, TDNN, TDNNConfig
 from pychain_tpu.utils.checkpoint import (latest_step, restore_checkpoint,
@@ -58,23 +60,61 @@ from pychain_tpu.utils.testgraphs import denominator_fst
 # ----------------------------------------------------------------------
 
 def make_synthetic_corpus(data_dir, utts=96, feat_dim=40, num_phones=24,
-                          min_t=40, max_t=90, seed=0):
+                          min_t=40, max_t=90, seed=0, graphs="random",
+                          num_style="aligned"):
+    """``graphs="random"`` reproduces Kaldi-built artifacts with the
+    synthetic generators; ``graphs="built"`` runs the FULL native
+    pipeline instead — sample phone transcripts, estimate a bigram
+    phone LM, compose the denominator (graphs/builder.py), and derive
+    each numerator from its transcript (``num_style="aligned"`` →
+    linear pdf sequence on the closed-form engine, ``"flat"`` →
+    flat-start graph with self-loops on the semiring engine)."""
     rng = np.random.RandomState(seed)
     os.makedirs(data_dir, exist_ok=True)
-    den_fst, P = denominator_fst(num_phones=num_phones,
-                                 states_per_phone=2, seed=seed)
-    den_fst.write(os.path.join(data_dir, "den.fst"))
 
     feats = {}
     fsts = {}
-    for i in range(utts):
-        t_len = int(rng.randint(min_t, max_t + 1))
-        key = f"utt{i:04d}"
-        pdfs = rng.randint(0, P, size=t_len)
-        f = rng.randn(t_len, feat_dim).astype(np.float32) * 0.5
-        f[np.arange(t_len), pdfs % feat_dim] += 2.0  # learnable signal
-        feats[key] = f
-        fsts[key] = FST.linear(pdfs)
+    if graphs == "built":
+        topo = ChainTopology(num_phones=num_phones)
+        markov = rng.dirichlet(np.ones(num_phones) * 0.3, size=num_phones)
+        transcripts = []
+        plans = []
+        for i in range(utts):
+            t_len = int(rng.randint(min_t, max_t + 1))
+            n_ph = max(1, t_len // 6)
+            phones = [int(rng.randint(num_phones))]
+            for _ in range(n_ph - 1):
+                phones.append(int(rng.choice(num_phones,
+                                             p=markov[phones[-1]])))
+            durs = np.ones(n_ph, np.int64)
+            extra = rng.multinomial(t_len - n_ph, np.ones(n_ph) / n_ph)
+            durs += extra
+            transcripts.append(phones)
+            plans.append((phones, durs.tolist()))
+        lm = estimate_phone_lm(transcripts, num_phones=num_phones, order=2)
+        den_fst = make_denominator_fst(lm, topo)
+        P = topo.num_pdfs
+        for i, (phones, durs) in enumerate(plans):
+            key = f"utt{i:04d}"
+            seq = alignment_to_pdf_sequence(phones, durs, topo)
+            t_len = len(seq)
+            f = rng.randn(t_len, feat_dim).astype(np.float32) * 0.5
+            f[np.arange(t_len), np.asarray(seq) % feat_dim] += 2.0
+            feats[key] = f
+            fsts[key] = (FST.linear(seq) if num_style == "aligned"
+                         else make_numerator_fst(phones, topo))
+    else:
+        den_fst, P = denominator_fst(num_phones=num_phones,
+                                     states_per_phone=2, seed=seed)
+        for i in range(utts):
+            t_len = int(rng.randint(min_t, max_t + 1))
+            key = f"utt{i:04d}"
+            pdfs = rng.randint(0, P, size=t_len)
+            f = rng.randn(t_len, feat_dim).astype(np.float32) * 0.5
+            f[np.arange(t_len), pdfs % feat_dim] += 2.0  # learnable signal
+            feats[key] = f
+            fsts[key] = FST.linear(pdfs)
+    den_fst.write(os.path.join(data_dir, "den.fst"))
 
     feats_ark = os.path.join(data_dir, "feats.ark")
     offsets = write_feats_ark(feats_ark, feats, compress=True)
@@ -140,11 +180,21 @@ def main():
     ap.add_argument("--dp", action="store_true")
     ap.add_argument("--tile-dtype", type=str, default="",
                     help="bfloat16 for the Pallas fast denominator mode")
+    ap.add_argument("--synthetic-graphs", choices=("random", "built"),
+                    default="random",
+                    help="'built' runs the native transcript->LM->"
+                         "denominator pipeline (graphs/builder.py) "
+                         "instead of the random generators")
+    ap.add_argument("--num-style", choices=("aligned", "flat"),
+                    default="aligned",
+                    help="numerator style for --synthetic-graphs=built")
     args = ap.parse_args()
 
     data_dir = args.data_dir
     if not data_dir:
-        data_dir = make_synthetic_corpus("/tmp/pychain_tpu_corpus")
+        data_dir = make_synthetic_corpus("/tmp/pychain_tpu_corpus",
+                                         graphs=args.synthetic_graphs,
+                                         num_style=args.num_style)
 
     keys, feats, nums, den_graph = load_corpus(data_dir)
     feat_dim = feats[0].shape[1]
