@@ -135,6 +135,9 @@ print("TPU-BF16-PARITY-OK S=%d" % den.num_states)
 def test_pallas_bf16_on_tpu_hardware():
     """Compile the real (non-interpreted) kernels on the chip: S~200
     graph, B=16, T=50 — the bench configuration scaled to CI budget."""
+    from _tunnel import tpu_tunnel_alive
+    if not tpu_tunnel_alive():
+        pytest.skip("TPU tunnel env is set but the backend is unreachable")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}

@@ -199,6 +199,9 @@ def test_semiring_pallas_on_tpu_hardware():
     """Compile the real (non-interpreted) select-free kernels on the
     chip and check parity vs the XLA scan, plus the auto-dispatch
     preference for the kernels on a TPU backend."""
+    from _tunnel import tpu_tunnel_alive
+    if not tpu_tunnel_alive():
+        pytest.skip("TPU tunnel env is set but the backend is unreachable")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
