@@ -48,7 +48,31 @@ NUM_PHONES, FANOUT = ((100, 10) if QUICK
                       else ((4000, 30) if S8K else (1500, 30)))
 
 
+def _require_live_backend(timeout=300):
+    """Fail fast (rc=1, clear message) when the TPU tunnel env is set
+    but the backend is unreachable — jax.devices() would otherwise
+    block this process forever and the driver would record a hang
+    instead of a diagnosable error."""
+    import subprocess
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # plain local backends initialize or fail promptly
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.default_backend()"],
+            capture_output=True, text=True, timeout=timeout,
+            env=dict(os.environ))
+        if proc.returncode == 0:
+            return
+        msg = proc.stderr[-500:]
+    except subprocess.TimeoutExpired:
+        msg = f"backend init still blocked after {timeout}s"
+    print(f"# TPU tunnel env is set but the backend is unreachable: "
+          f"{msg}", file=sys.stderr)
+    sys.exit(1)
+
+
 def main():
+    _require_live_backend()
     rng = np.random.RandomState(0)
     den_fst, P = denominator_fst(num_phones=NUM_PHONES, states_per_phone=2,
                                  seed=0, bigram_fanout=FANOUT)
