@@ -360,6 +360,85 @@ def make_numerator_fst(phones, topo: ChainTopology,
     return FST.from_arcs(n + 1, 0, arcs, {n: final})
 
 
+def make_constrained_numerator(phones, durations, topo: ChainTopology,
+                               tolerance: int = 5) -> FST:
+    """Tolerance-constrained supervision (the style of Kaldi's
+    ``chain-get-supervision``): phone boundaries may move up to
+    ``tolerance`` frames from the alignment, no further.
+
+    The graph is time-synchronous by construction — state (t, i) means
+    "frame t-1 was in phone i", every arc advances one frame — so it
+    levelizes with level width <= 2*tolerance + 1 and dispatches to the
+    banded leveled engine.  ``tolerance=0`` degenerates to the exact
+    aligned linear path; ``tolerance=inf`` would recover the flat-start
+    graph of :func:`make_numerator_fst` (which is cyclic and cheaper to
+    use directly).  Arc weights are 0 (flat-start convention).
+    """
+    phones = [int(p) for p in phones]
+    durations = [int(d) for d in durations]
+    if len(phones) != len(durations):
+        raise ValueError("phones and durations must have equal length")
+    if any(d < 1 for d in durations):
+        raise ValueError("every phone needs at least one frame")
+    if tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
+    n = len(phones)
+    T = int(sum(durations))
+    starts = np.cumsum([0] + durations[:-1])
+    ends = starts + np.asarray(durations)        # phone i: [starts, ends)
+
+    # allowed[t, i]: frame t may be in phone i (within tolerance window)
+    t_idx = np.arange(T)[:, None]
+    allowed = ((t_idx >= starts[None, :] - tolerance)
+               & (t_idx <= ends[None, :] - 1 + tolerance))
+
+    # forward reachability over states (tau, i), tau = t + 1
+    fwd = np.zeros((T + 1, n), bool)
+    if allowed[0, 0]:
+        fwd[1, 0] = True
+    for tau in range(1, T):
+        stay = fwd[tau] & allowed[tau]
+        adv = np.zeros(n, bool)
+        adv[1:] = fwd[tau, :-1] & allowed[tau, 1:]
+        fwd[tau + 1] = stay | adv
+    # backward co-reachability from the accepting state (T, n-1)
+    bwd = np.zeros((T + 1, n), bool)
+    bwd[T, n - 1] = fwd[T, n - 1]
+    for tau in range(T - 1, 0, -1):
+        # an arc out of (tau, i) emits frame tau, which belongs to the
+        # DESTINATION phone: stay needs allowed[tau, i], advance needs
+        # allowed[tau, i+1]
+        stay = bwd[tau + 1] & allowed[tau]
+        adv = np.zeros(n, bool)
+        adv[:-1] = bwd[tau + 1, 1:] & allowed[tau, 1:]
+        bwd[tau] = fwd[tau] & (stay | adv)
+    keep = fwd & bwd
+    if not keep[T, n - 1]:
+        raise ValueError("no feasible path — inconsistent alignment")
+
+    ids = np.full((T + 1, n), -1, np.int64)
+    count = 1                                    # 0 is the initial state
+    for tau in range(1, T + 1):
+        for i in np.nonzero(keep[tau])[0]:
+            ids[tau, i] = count
+            count += 1
+
+    arcs = []
+    if keep[1, 0]:
+        lbl = topo.fwd_pdf(phones[0]) + 1
+        arcs.append((0, int(ids[1, 0]), lbl, lbl, 0.0))
+    for tau in range(1, T):
+        for i in np.nonzero(keep[tau])[0]:
+            src = int(ids[tau, i])
+            if keep[tau + 1, i]:
+                lbl = topo.self_pdf(phones[i]) + 1
+                arcs.append((src, int(ids[tau + 1, i]), lbl, lbl, 0.0))
+            if i + 1 < n and keep[tau + 1, i + 1]:
+                lbl = topo.fwd_pdf(phones[i + 1]) + 1
+                arcs.append((src, int(ids[tau + 1, i + 1]), lbl, lbl, 0.0))
+    return FST.from_arcs(count, 0, arcs, {int(ids[T, n - 1]): 0.0})
+
+
 def alignment_to_pdf_sequence(phones, durations, topo: ChainTopology):
     """Aligned supervision: with per-phone frame counts, the numerator
     collapses to one pdf per frame — feed the result to ``FST.linear``

@@ -254,6 +254,81 @@ def test_aligned_path_bounded_by_flat_start():
     assert float(o_lin) <= float(o_flat) + 1e-4
 
 
+def test_constrained_numerator_tolerance_zero_is_aligned():
+    """tolerance=0 admits exactly the aligned path: objf equals the
+    linear closed form, and the graph is width-1 time-synchronous."""
+    from pychain_tpu.graphs.builder import make_constrained_numerator
+    from pychain_tpu.ops.leveled import is_leveled_graph
+    topo = ChainTopology(num_phones=4)
+    phones = [2, 0, 3, 0]
+    durs = [3, 2, 4, 2]
+    T = sum(durs)
+    g0 = ChainGraph(make_constrained_numerator(phones, durs, topo,
+                                               tolerance=0),
+                    log_domain=True)
+    seq = alignment_to_pdf_sequence(phones, durs, topo)
+    lin = ChainGraph(FST.linear(seq), log_domain=True)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, T, topo.num_pdfs).astype(np.float32))
+    lengths = np.array([T], np.int32)
+
+    def objf(g):
+        return float(chain_function(
+            x, lengths,
+            ChainGraphBatch([g], max_num_transitions=g.num_transitions,
+                            max_num_states=g.num_states)))
+
+    np.testing.assert_allclose(objf(g0), objf(lin), rtol=1e-5)
+    assert is_leveled_graph(g0)
+
+
+def test_constrained_numerator_tolerance_monotone():
+    """More tolerance admits strictly more paths: aligned <= tol=2 <=
+    flat-start (all weights 0), and the tol=2 graph runs on the
+    leveled engine with gather parity."""
+    from pychain_tpu.graphs.builder import make_constrained_numerator
+    from pychain_tpu.ops.leveled import is_leveled_graph
+    topo = ChainTopology(num_phones=5)
+    phones = [1, 4, 2, 0]
+    durs = [4, 3, 5, 3]
+    T = sum(durs)
+    g_tol = ChainGraph(make_constrained_numerator(phones, durs, topo,
+                                                  tolerance=2),
+                       log_domain=True)
+    assert is_leveled_graph(g_tol)
+    seq = alignment_to_pdf_sequence(phones, durs, topo)
+    lin = ChainGraph(FST.linear(seq), log_domain=True)
+    flat = ChainGraph(make_numerator_fst(phones, topo), log_domain=True)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, T, topo.num_pdfs).astype(np.float32))
+    lengths = np.array([T], np.int32)
+
+    def objf(g, impl="auto"):
+        return float(chain_function(
+            x, lengths,
+            ChainGraphBatch([g], max_num_transitions=g.num_transitions,
+                            max_num_states=g.num_states), impl=impl))
+
+    o_lin, o_tol, o_flat = objf(lin), objf(g_tol), objf(flat)
+    assert o_lin <= o_tol + 1e-4 <= o_flat + 2e-4
+    assert o_tol > o_lin  # tolerance really adds paths
+    np.testing.assert_allclose(o_tol, objf(g_tol, impl="gather"),
+                               rtol=1e-4)
+    np.testing.assert_allclose(o_tol, objf(g_tol, impl="leveled"),
+                               rtol=1e-4)
+
+
+def test_constrained_numerator_validation():
+    from pychain_tpu.graphs.builder import make_constrained_numerator
+    topo = ChainTopology(num_phones=3)
+    with pytest.raises(ValueError):
+        make_constrained_numerator([0, 1], [2], topo)
+    with pytest.raises(ValueError):
+        make_constrained_numerator([0], [0], topo)
+    with pytest.raises(ValueError):
+        make_constrained_numerator([0], [3], topo, tolerance=-1)
+
+
 def test_builder_input_validation():
     topo = ChainTopology(num_phones=3)
     with pytest.raises(ValueError):
