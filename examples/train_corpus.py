@@ -46,8 +46,9 @@ from pychain_tpu.data import (BucketSpec, LengthBucketer, load_scp_entry,
                               pad_to_bucket, read_scp, write_feats_ark,
                               write_scp)
 from pychain_tpu.graphs import (ChainTopology, alignment_to_pdf_sequence,
-                                estimate_phone_lm, make_denominator_fst,
-                                make_numerator_fst, write_ark)
+                                estimate_phone_lm, make_constrained_numerator,
+                                make_denominator_fst, make_numerator_fst,
+                                write_ark)
 from pychain_tpu.loss import chain_loss, dispatch_arrays
 from pychain_tpu.models import BLSTM, BLSTMConfig, TDNN, TDNNConfig
 from pychain_tpu.utils.checkpoint import (latest_step, restore_checkpoint,
@@ -101,8 +102,13 @@ def make_synthetic_corpus(data_dir, utts=96, feat_dim=40, num_phones=24,
             f = rng.randn(t_len, feat_dim).astype(np.float32) * 0.5
             f[np.arange(t_len), np.asarray(seq) % feat_dim] += 2.0
             feats[key] = f
-            fsts[key] = (FST.linear(seq) if num_style == "aligned"
-                         else make_numerator_fst(phones, topo))
+            if num_style == "aligned":
+                fsts[key] = FST.linear(seq)
+            elif num_style == "constrained":
+                fsts[key] = make_constrained_numerator(phones, durs, topo,
+                                                       tolerance=3)
+            else:
+                fsts[key] = make_numerator_fst(phones, topo)
     else:
         den_fst, P = denominator_fst(num_phones=num_phones,
                                      states_per_phone=2, seed=seed)
@@ -185,9 +191,13 @@ def main():
                     help="'built' runs the native transcript->LM->"
                          "denominator pipeline (graphs/builder.py) "
                          "instead of the random generators")
-    ap.add_argument("--num-style", choices=("aligned", "flat"),
+    ap.add_argument("--num-style",
+                    choices=("aligned", "constrained", "flat"),
                     default="aligned",
-                    help="numerator style for --synthetic-graphs=built")
+                    help="numerator style for --synthetic-graphs=built: "
+                         "exact alignment (linear engine), tolerance "
+                         "windows (leveled engine), or flat-start "
+                         "(semiring engine)")
     args = ap.parse_args()
 
     data_dir = args.data_dir
