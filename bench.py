@@ -53,22 +53,13 @@ def _require_live_backend(timeout=300):
     but the backend is unreachable — jax.devices() would otherwise
     block this process forever and the driver would record a hang
     instead of a diagnosable error."""
-    import subprocess
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+    from pychain_tpu.utils.backend import tpu_tunnel_alive, tunnel_env_set
+    if not tunnel_env_set():
         return  # plain local backends initialize or fail promptly
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.default_backend()"],
-            capture_output=True, text=True, timeout=timeout,
-            env=dict(os.environ))
-        if proc.returncode == 0:
-            return
-        msg = proc.stderr[-500:]
-    except subprocess.TimeoutExpired:
-        msg = f"backend init still blocked after {timeout}s"
-    print(f"# TPU tunnel env is set but the backend is unreachable: "
-          f"{msg}", file=sys.stderr)
-    sys.exit(1)
+    if not tpu_tunnel_alive(timeout=timeout):
+        print("# TPU tunnel env is set but the backend is unreachable "
+              f"(still blocked after {timeout}s)", file=sys.stderr)
+        sys.exit(1)
 
 
 def main():

@@ -173,6 +173,14 @@ def build_model(name, num_pdfs, feat_dim):
 
 
 def main():
+    from pychain_tpu.utils.backend import tpu_tunnel_alive, tunnel_env_set
+    if tunnel_env_set() and not tpu_tunnel_alive():
+        # the tunneled TPU backend blocks forever in jax.devices() when
+        # unreachable; degrade to CPU instead of hanging
+        print("WARNING: TPU tunnel env is set but the backend is "
+              "unreachable; falling back to CPU", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", type=str, default="")
     ap.add_argument("--model", choices=("tdnn", "tdnnf", "blstm"),

@@ -369,13 +369,19 @@ def make_constrained_numerator(phones, durations, topo: ChainTopology,
     The graph is time-synchronous by construction — state (t, i) means
     "frame t-1 was in phone i", every arc advances one frame — so it
     levelizes with level width <= 2*tolerance + 1 and dispatches to the
-    banded leveled engine.  ``tolerance=0`` degenerates to the exact
-    aligned linear path; ``tolerance=inf`` would recover the flat-start
-    graph of :func:`make_numerator_fst` (which is cyclic and cheaper to
-    use directly).  Arc weights are 0 (flat-start convention).
+    banded leveled engine — provided the pruned width stays within the
+    engine's cap (16 slots, i.e. tolerance <= ~7 with short phones;
+    beyond it the graph still computes correctly on the generic gather
+    engine, and a UserWarning flags the downgrade).  ``tolerance=0``
+    degenerates to the exact aligned linear path; ``tolerance=inf``
+    would recover the flat-start graph of :func:`make_numerator_fst`
+    (which is cyclic and cheaper to use directly).  Arc weights are 0
+    (flat-start convention).
     """
     phones = [int(p) for p in phones]
     durations = [int(d) for d in durations]
+    if not phones:
+        raise ValueError("empty transcript")
     if len(phones) != len(durations):
         raise ValueError("phones and durations must have equal length")
     if any(d < 1 for d in durations):
@@ -415,6 +421,16 @@ def make_constrained_numerator(phones, durations, topo: ChainTopology,
     keep = fwd & bwd
     if not keep[T, n - 1]:
         raise ValueError("no feasible path — inconsistent alignment")
+
+    width = int(keep.sum(axis=1).max())
+    if width > 16:
+        import warnings
+        warnings.warn(
+            f"constrained supervision level width {width} exceeds the "
+            "leveled engine's 16-slot cap; the graph will run on the "
+            "generic gather engine (correct but slower) — use a smaller "
+            "tolerance or the flat-start make_numerator_fst",
+            UserWarning, stacklevel=2)
 
     ids = np.full((T + 1, n), -1, np.int64)
     count = 1                                    # 0 is the initial state

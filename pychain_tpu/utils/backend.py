@@ -1,0 +1,45 @@
+"""Backend liveness helpers for tunneled TPU environments.
+
+On this class of machine a site-hook registers a remote ("axon"
+tunnel) TPU backend whenever ``PALLAS_AXON_POOL_IPS`` is set; when the
+tunnel is unreachable, the first ``jax.devices()`` call blocks
+indefinitely rather than failing.  Anything that might run under that
+env (benchmarks, examples, on-chip tests, driver entry points) should
+probe liveness in a subprocess with a deadline first and degrade
+cleanly.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import subprocess
+import sys
+
+TUNNEL_ENV_VAR = "PALLAS_AXON_POOL_IPS"
+
+
+def tunnel_env_set() -> bool:
+    return bool(os.environ.get(TUNNEL_ENV_VAR))
+
+
+@functools.lru_cache(maxsize=None)
+def tpu_tunnel_alive(timeout: int = 240) -> bool:
+    """True iff a non-CPU jax backend initializes within ``timeout``
+    seconds in a clean subprocess (no CPU-forcing env).  False when the
+    tunnel env var is unset, when initialization fails, or when it is
+    still blocked at the deadline.  Cached per (timeout) per process.
+    """
+    if not tunnel_env_set():
+        return False
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; b = jax.default_backend(); "
+             "print('TUNNEL-ALIVE' if b != 'cpu' else 'CPU-ONLY')"],
+            capture_output=True, text=True, timeout=timeout, env=env)
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "TUNNEL-ALIVE" in proc.stdout
