@@ -43,6 +43,7 @@ import optax
 from pychain_tpu import (ChainGraph, ChainGraphBatch, FST,
                          chain_function_with_aux, check_result)
 from pychain_tpu.data import (BucketSpec, LengthBucketer, load_scp_entry,
+                              prefetch,
                               pad_to_bucket, read_scp, write_feats_ark,
                               write_scp)
 from pychain_tpu.graphs import (ChainTopology, alignment_to_pdf_sequence,
@@ -272,15 +273,12 @@ def main():
         opt_state = jax.device_put(opt_state, rep)
         print(f"data parallel over {mesh.devices.size} devices")
 
-    step, epoch = step0, 0
-    t_start = time.time()
-    loss = float("nan")
-    while step < args.steps:
-        epoch += 1
+    def assemble_batches(epoch):
+        """Host-side batch assembly (padding, graph batching, engine
+        dispatch, device transfer) — runs in the prefetcher's thread so
+        it overlaps the previous step's device compute."""
         for idx in bucketer.batches(lengths_all, args.batch_size,
                                     epoch=epoch):
-            if step >= args.steps:
-                break
             if len(idx) < args.batch_size:
                 continue  # static shapes
             t_pad = bucketer.padded_shape(lengths_all, idx)
@@ -302,24 +300,36 @@ def main():
                 x_j = jax.device_put(x_j, sh)
                 lens_j = jax.device_put(lens_j, sh)
                 num_g = jax.device_put(num_g, sh)
-            loss, params, opt_state = train_step(
-                params, opt_state, x_j, lens_j, num_g, den_g)
-            step += 1
-            if args.model == "tdnnf" and step % 4 == 0:
-                # Kaldi applies the semi-orthogonal constraint every
-                # few optimizer steps (floating case)
-                from pychain_tpu.models import constrain_semi_orthogonal
-                params = constrain_semi_orthogonal(params)
-            if step % 10 == 0 or step == step0 + 1:
-                out = apply_model(params, x_j, lens_j)
-                _, aux = chain_function_with_aux(out, lens_j, den_g)
-                rep_ok = check_result(aux, lens)
-                print(f"step {step}: loss={float(loss):.4f} "
-                      f"ok={rep_ok.all_ok} "
-                      f"({(step - step0) / (time.time() - t_start):.2f} "
-                      f"steps/s)")
-            if args.ckpt and step % 100 == 0:
-                save_checkpoint(args.ckpt, step, (params, opt_state))
+            yield x_j, lens_j, num_g, den_g, lens
+
+    step, epoch = step0, 0
+    t_start = time.time()
+    loss = float("nan")
+    while step < args.steps:
+        epoch += 1
+        with prefetch(assemble_batches(epoch), depth=2) as batches:
+            for x_j, lens_j, num_g, den_g, lens in batches:
+                if step >= args.steps:
+                    break
+                loss, params, opt_state = train_step(
+                    params, opt_state, x_j, lens_j, num_g, den_g)
+                step += 1
+                if args.model == "tdnnf" and step % 4 == 0:
+                    # Kaldi applies the semi-orthogonal constraint every
+                    # few optimizer steps (floating case)
+                    from pychain_tpu.models import (
+                        constrain_semi_orthogonal)
+                    params = constrain_semi_orthogonal(params)
+                if step % 10 == 0 or step == step0 + 1:
+                    out = apply_model(params, x_j, lens_j)
+                    _, aux = chain_function_with_aux(out, lens_j, den_g)
+                    rep_ok = check_result(aux, lens)
+                    print(f"step {step}: loss={float(loss):.4f} "
+                          f"ok={rep_ok.all_ok} "
+                          f"({(step - step0) / (time.time() - t_start):.2f}"
+                          f" steps/s)")
+                if args.ckpt and step % 100 == 0:
+                    save_checkpoint(args.ckpt, step, (params, opt_state))
     if args.ckpt:
         save_checkpoint(args.ckpt, step, (params, opt_state))
     print(f"done: {step - step0} steps in {time.time() - t_start:.1f}s; "

@@ -1,4 +1,5 @@
 from .bucketing import BucketSpec, LengthBucketer, pad_to_bucket
+from .prefetch import Prefetcher, prefetch
 from .kaldi_features import (
     load_scp_entry,
     scan_feats_ark,
@@ -18,4 +19,6 @@ __all__ = [
     "write_scp",
     "load_scp_entry",
     "scan_feats_ark",
+    "Prefetcher",
+    "prefetch",
 ]
