@@ -329,6 +329,84 @@ def test_constrained_numerator_validation():
         make_constrained_numerator([0], [3], topo, tolerance=-1)
 
 
+def test_builder_denominator_on_factorized_engine():
+    """A trigram builder denominator (initial state without self-loop,
+    repeated-phone structural loops) runs the factorized MXU engine
+    with gather parity — the realistic-graph shape of the fast path."""
+    ts = _random_transcripts(n=60, num_phones=8, seed=8, min_len=6,
+                             max_len=14)
+    lm = estimate_phone_lm(ts, order=3, max_states=40)
+    topo = ChainTopology(num_phones=8)
+    den = ChainGraph(make_denominator_fst(lm, topo), log_domain=False)
+    assert den.num_states > 20
+    rng = np.random.RandomState(9)
+    B, T = 3, 16
+    x = jnp.asarray(rng.randn(B, T, topo.num_pdfs).astype(np.float32))
+    lengths = np.array([16, 12, 9], np.int32)
+    batch = ChainGraphBatch(den, B)
+    from pychain_tpu.loss import chain_function_with_aux
+    _, fact = chain_function_with_aux(x, lengths, batch,
+                                      impl="factorized")
+    _, gath = chain_function_with_aux(x, lengths, batch, impl="gather")
+    np.testing.assert_allclose(np.asarray(fact.objf),
+                               np.asarray(gath.objf), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(fact.gamma),
+                               np.asarray(gath.gamma), rtol=1e-3,
+                               atol=1e-5)
+    assert np.all(np.asarray(fact.ok))
+
+
+def test_constrained_batch_unequal_lengths():
+    """A batch of constrained supervisions with different totals runs
+    the leveled engine with per-graph lengths and gather parity."""
+    from pychain_tpu.graphs.builder import make_constrained_numerator
+    topo = ChainTopology(num_phones=5)
+    specs = [([1, 4, 2], [4, 3, 5]), ([0, 3], [6, 4]),
+             ([2, 2, 1, 0], [3, 3, 3, 3])]
+    graphs = [ChainGraph(make_constrained_numerator(p, d, topo,
+                                                    tolerance=2),
+                         log_domain=True) for p, d in specs]
+    lengths = np.array([sum(d) for _, d in specs], np.int32)
+    T = int(lengths.max())
+    mk = max(g.num_transitions for g in graphs)
+    ms = max(g.num_states for g in graphs)
+    batch = ChainGraphBatch(graphs, max_num_transitions=mk,
+                            max_num_states=ms)
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(3, T, topo.num_pdfs).astype(np.float32))
+    from pychain_tpu.loss import chain_function_with_aux
+    _, lev = chain_function_with_aux(x, lengths, batch, impl="leveled")
+    _, gath = chain_function_with_aux(x, lengths, batch, impl="gather")
+    np.testing.assert_allclose(np.asarray(lev.objf),
+                               np.asarray(gath.objf), rtol=1e-4)
+    assert np.all(np.asarray(lev.ok))
+
+
+def test_constrained_wide_tolerance_warns_and_computes():
+    """Width beyond the leveled cap: a UserWarning fires and the graph
+    still computes correctly on the generic engine via auto."""
+    from pychain_tpu.graphs.builder import make_constrained_numerator
+    from pychain_tpu.ops.leveled import is_leveled_graph
+    topo = ChainTopology(num_phones=3)
+    phones = [0, 1, 2] * 7          # 21 short phones
+    durs = [2] * 21                 # slack everywhere -> wide levels
+    with pytest.warns(UserWarning, match="level width"):
+        fst = make_constrained_numerator(phones, durs, topo,
+                                         tolerance=16)
+    g = ChainGraph(fst, log_domain=True)
+    assert not is_leveled_graph(g)
+    T = sum(durs)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, T, topo.num_pdfs).astype(np.float32))
+    lengths = np.array([T], np.int32)
+    batch = ChainGraphBatch([g], max_num_transitions=g.num_transitions,
+                            max_num_states=g.num_states)
+    auto = chain_function(x, lengths, batch, impl="auto")
+    gath = chain_function(x, lengths, batch, impl="gather")
+    np.testing.assert_allclose(float(auto), float(gath), rtol=1e-4)
+    assert np.isfinite(float(auto))
+
+
 def test_builder_input_validation():
     topo = ChainTopology(num_phones=3)
     with pytest.raises(ValueError):
