@@ -19,6 +19,7 @@ from .loss import (
     chain_loss,
 )
 from .graphs.fst import FST
+from .ops.viterbi import ViterbiResult, viterbi_align
 from .utils.diagnostics import (
     check_result,
     get_verbose_level,
@@ -36,6 +37,8 @@ __all__ = [
     "chain_function_with_aux",
     "chain_loss",
     "FST",
+    "ViterbiResult",
+    "viterbi_align",
     "check_result",
     "set_verbose_level",
     "get_verbose_level",

@@ -1,8 +1,9 @@
 from .fst import FST, read_ark_sequential, write_ark
 from .compiler import CompiledGraph, compile_fst, leaky_probs
 from .builder import (ChainTopology, PhoneLM, alignment_to_pdf_sequence,
-                      estimate_phone_lm, make_constrained_numerator,
-                      make_denominator_fst, make_numerator_fst)
+                      durations_from_alignment, estimate_phone_lm,
+                      make_constrained_numerator, make_denominator_fst,
+                      make_numerator_fst)
 
 __all__ = [
     "FST",
@@ -15,6 +16,7 @@ __all__ = [
     "PhoneLM",
     "alignment_to_pdf_sequence",
     "estimate_phone_lm",
+    "durations_from_alignment",
     "make_constrained_numerator",
     "make_denominator_fst",
     "make_numerator_fst",

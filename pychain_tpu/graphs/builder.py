@@ -455,6 +455,34 @@ def make_constrained_numerator(phones, durations, topo: ChainTopology,
     return FST.from_arcs(count, 0, arcs, {int(ids[T, n - 1]): 0.0})
 
 
+def durations_from_alignment(states, length=None):
+    """Recover per-phone durations from a ``viterbi_align`` state
+    sequence over a :func:`make_numerator_fst` graph (where state i+1
+    is phone position i).  Closes the flat-start loop: train
+    flat-start, align, re-train constrained
+    (:func:`make_constrained_numerator`).
+
+    ``states``: 1-D int array for ONE sequence (``result.states[b]``);
+    ``length``: true frame count (default: count of non-negative
+    entries).  Returns a list of durations, one per phone position.
+    """
+    states = np.asarray(states)
+    if states.ndim != 1:
+        raise ValueError("pass one sequence's states (1-D)")
+    if length is None:
+        length = int((states >= 0).sum())
+    s = states[:length].astype(np.int64)
+    if length == 0 or s.min() < 1:
+        raise ValueError("not a valid numerator-graph alignment")
+    steps = np.diff(s)
+    if (steps < 0).any() or (steps > 1).any() or s[0] != 1:
+        raise ValueError("states must start at 1 and advance by 0 or 1 "
+                         "per frame (a make_numerator_fst path)")
+    n = int(s[-1])
+    durs = np.bincount(s, minlength=n + 1)[1:]
+    return [int(d) for d in durs]
+
+
 def alignment_to_pdf_sequence(phones, durations, topo: ChainTopology):
     """Aligned supervision: with per-phone frame counts, the numerator
     collapses to one pdf per frame — feed the result to ``FST.linear``

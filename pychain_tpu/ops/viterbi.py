@@ -1,0 +1,126 @@
+"""Viterbi best-path / forced alignment over supervision graphs.
+
+The reference has no alignment capability — Kaldi produces alignments
+offline and pychain consumes the resulting graphs.  With the
+transcript->graph builder (graphs/builder.py) in the package, Viterbi
+closes the classic two-stage loop natively: train flat-start
+(make_numerator_fst, semiring engine), *align* with the trained model
+(this module), then re-train on tolerance-constrained supervision
+(make_constrained_numerator, leveled engine).
+
+Same scan discipline as the forward-backward engines: one ``lax.scan``
+over time in the max-plus (tropical) semiring, backpointers as a
+(T, B, S) int32 tensor, then a reverse scan for the traceback.  Sized
+for numerator-scale graphs (S up to a few thousand); the denominator
+never needs alignment.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .fwdbwd import GraphArrays, NEG_INF
+
+
+class ViterbiResult(NamedTuple):
+    objf: jax.Array    # (B,) best-path log-likelihood (-inf: no path)
+    pdfs: jax.Array    # (B, T) int32 pdf per frame, -1 beyond length
+    states: jax.Array  # (B, T) int32 state after each frame, -1 beyond
+    ok: jax.Array      # (B,) bool, objf finite
+
+
+def _as_batched(a, B):
+    """Broadcast a shared (K,)/(S,) array to (B, ...)."""
+    return jnp.broadcast_to(a, (B,) + a.shape)
+
+
+def viterbi_align(x, x_lengths, graphs) -> ViterbiResult:
+    """Best path of each sequence through its (log-domain) graph.
+
+    x (B, T, P) nnet log-likelihoods, x_lengths (B,), graphs a
+    ``ChainGraphBatch`` (log domain) or log-domain ``GraphArrays``.
+    Returns per-frame pdf ids and states along the single best path —
+    the max-plus counterpart of ``chain_function``'s logsumexp.
+    """
+    if not isinstance(graphs, GraphArrays):
+        from ..loss import graph_arrays
+        g = graph_arrays(graphs)
+    else:
+        g = graphs
+    if g.leaky is not None:
+        raise ValueError("viterbi_align needs a log-domain graph "
+                         "(numerator supervision), got a prob-domain one")
+    x = jnp.clip(x, -30.0, 30.0)                 # match chain_function
+    B, T, P = x.shape
+    S = g.num_states
+    lengths = jnp.asarray(x_lengths, jnp.int32)
+
+    # arcs grouped by destination; broadcast shared graphs once
+    src = g.bwd_src if not g.shared else _as_batched(g.bwd_src, B)
+    dst = g.bwd_dst if not g.shared else _as_batched(g.bwd_dst, B)
+    pdf = g.bwd_pdf if not g.shared else _as_batched(g.bwd_pdf, B)
+    prob = g.bwd_prob if not g.shared else _as_batched(g.bwd_prob, B)
+    initial = g.initial if not g.shared else _as_batched(g.initial, B)
+    final = g.final if not g.shared else _as_batched(g.final, B)
+    K = src.shape[-1]
+    arc_ids = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
+
+    def seg_max(values, seg):
+        f = lambda v, s: jax.ops.segment_max(
+            v, s, num_segments=S, indices_are_sorted=False)
+        return jax.vmap(f)(values, seg)
+
+    xt = jnp.swapaxes(x, 0, 1)                   # (T, B, P)
+
+    def step(delta, x_t):
+        # cand[b, a] = delta[b, src[a]] + arc logp + emission at frame t
+        cand = (jnp.take_along_axis(delta, src, axis=1) + prob
+                + jnp.take_along_axis(x_t, pdf, axis=1))
+        new_delta = seg_max(cand, dst)           # (B, S)
+        # backpointer: any arc achieving the max (exact float equality
+        # of identically-computed values); padded arcs carry -inf cand
+        # and never win where a real arc exists
+        winner = cand == jnp.take_along_axis(new_delta, dst, axis=1)
+        bp = seg_max(jnp.where(winner, arc_ids, -1), dst)
+        return new_delta, (new_delta, bp)
+
+    delta0 = initial.astype(x.dtype)
+    _, (deltas, bps) = jax.lax.scan(step, delta0, xt)  # (T, B, S) each
+
+    # per-sequence terminal: delta after len_b frames + final
+    t_end = jnp.clip(lengths - 1, 0, T - 1)
+    delta_end = jnp.take_along_axis(
+        deltas, t_end[None, :, None].astype(jnp.int32), axis=0)[0]
+    end_score = delta_end + final
+    best_end = jnp.argmax(end_score, axis=1).astype(jnp.int32)
+    objf = jnp.take_along_axis(end_score, best_end[:, None], axis=1)[:, 0]
+    objf = jnp.where(lengths > 0, objf, NEG_INF)
+
+    # traceback: reverse scan, carry = state after frame t
+    def back(carry, inputs):
+        t, bp_t = inputs
+        c = jnp.where(t == lengths - 1, best_end, carry)
+        active = t <= lengths - 1
+        arc = jnp.take_along_axis(bp_t, c[:, None], axis=1)[:, 0]
+        arc_safe = jnp.clip(arc, 0, K - 1)
+        pdf_t = jnp.take_along_axis(pdf, arc_safe[:, None], axis=1)[:, 0]
+        prev = jnp.take_along_axis(src, arc_safe[:, None], axis=1)[:, 0]
+        valid = active & (arc >= 0)
+        out_pdf = jnp.where(valid, pdf_t, -1)
+        out_state = jnp.where(valid, c, -1)
+        new_c = jnp.where(valid, prev, c)
+        return new_c, (out_pdf, out_state)
+
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    _, (pdfs_rev, states_rev) = jax.lax.scan(
+        back, best_end, (ts, jnp.flip(bps, axis=0)))
+    pdfs = jnp.flip(pdfs_rev, axis=0).T          # (B, T)
+    states = jnp.flip(states_rev, axis=0).T
+    ok = jnp.isfinite(objf)
+    pdfs = jnp.where(ok[:, None], pdfs, -1)
+    states = jnp.where(ok[:, None], states, -1)
+    return ViterbiResult(objf=objf, pdfs=pdfs.astype(jnp.int32),
+                         states=states.astype(jnp.int32), ok=ok)

@@ -1,0 +1,176 @@
+"""Viterbi forced alignment (ops/viterbi.py) — the max-plus
+counterpart of chain_function, closing the flat-start -> align ->
+constrained-training loop together with graphs/builder.py."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pychain_tpu import ChainGraph, ChainGraphBatch, viterbi_align
+from pychain_tpu.graphs.builder import (ChainTopology,
+                                        alignment_to_pdf_sequence,
+                                        durations_from_alignment,
+                                        make_numerator_fst)
+from pychain_tpu.loss import chain_function
+from pychain_tpu.utils.testgraphs import linear_fst, random_fst
+
+
+def _batch(graphs):
+    return ChainGraphBatch(
+        graphs,
+        max_num_transitions=max(g.num_transitions for g in graphs),
+        max_num_states=max(g.num_states for g in graphs))
+
+
+def _brute_force_best(g, x_b):
+    """Enumerate every path of length T through a compiled log-domain
+    ChainGraph (float64) and return the best total score."""
+    T = x_b.shape[0]
+    trans = np.asarray(g.forward_transitions)
+    probs = np.asarray(g.forward_transition_probs, np.float64)
+    final = np.asarray(g.final_probs, np.float64)
+    best = [float("-inf")]
+
+    def walk(state, t, score):
+        if t == T:
+            if np.isfinite(final[state]):
+                best[0] = max(best[0], score + final[state])
+            return
+        for k in range(trans.shape[0]):
+            if trans[k, 0] == state:
+                walk(int(trans[k, 1]), t + 1,
+                     score + probs[k] + float(x_b[t, int(trans[k, 2])]))
+
+    walk(int(g.start_state), 0, 0.0)
+    return best[0]
+
+
+def test_linear_graph_alignment_is_identity():
+    rng = np.random.RandomState(0)
+    P, T = 6, 9
+    seq = rng.randint(0, P, size=T)
+    g = ChainGraph(linear_fst(seq), log_domain=True)
+    x = jnp.asarray(rng.randn(1, T, P).astype(np.float32))
+    res = viterbi_align(x, np.array([T], np.int32), _batch([g]))
+    assert bool(res.ok[0])
+    np.testing.assert_array_equal(np.asarray(res.pdfs[0]), seq)
+    np.testing.assert_array_equal(np.asarray(res.states[0]),
+                                  np.arange(1, T + 1))
+    expect = sum(np.asarray(x)[0, t, seq[t]] for t in range(T))
+    np.testing.assert_allclose(float(res.objf[0]), expect, rtol=1e-5)
+
+
+def test_matches_brute_force_on_random_graphs():
+    rng = np.random.RandomState(1)
+    T, P = 5, 4
+    for seed in range(4):
+        g = ChainGraph(random_fst(num_states=4, num_pdfs=P,
+                                  max_arcs_per_state=2, seed=seed),
+                       log_domain=True)
+        x = rng.randn(1, T, P).astype(np.float32)
+        res = viterbi_align(jnp.asarray(x), np.array([T], np.int32),
+                            _batch([g]))
+        expect = _brute_force_best(g, np.asarray(x[0], np.float64))
+        np.testing.assert_allclose(float(res.objf[0]), expect, rtol=1e-5)
+
+
+def test_viterbi_bounded_by_forward_and_score_consistent():
+    """Best path <= logsumexp of all paths, and the returned alignment
+    re-scores to exactly the returned objf (flat-start weights are 0)."""
+    topo = ChainTopology(num_phones=5)
+    rng = np.random.RandomState(2)
+    phones = [3, 1, 4, 0]
+    T = 14
+    g = ChainGraph(make_numerator_fst(phones, topo), log_domain=True)
+    x = jnp.asarray(rng.randn(1, T, topo.num_pdfs).astype(np.float32))
+    lengths = np.array([T], np.int32)
+    batch = _batch([g])
+    res = viterbi_align(x, lengths, batch)
+    total = float(chain_function(x, lengths, batch))
+    assert float(res.objf[0]) <= total + 1e-4
+    pdfs = np.asarray(res.pdfs[0])
+    rescore = sum(np.asarray(x)[0, t, pdfs[t]] for t in range(T))
+    np.testing.assert_allclose(float(res.objf[0]), rescore, rtol=1e-5)
+
+
+def test_alignment_roundtrip_through_builder():
+    """viterbi states -> durations -> pdf sequence reproduces the
+    viterbi pdf sequence (the flat-start re-alignment loop)."""
+    topo = ChainTopology(num_phones=4)
+    rng = np.random.RandomState(3)
+    phones = [2, 0, 1, 3, 1]
+    T = 17
+    g = ChainGraph(make_numerator_fst(phones, topo), log_domain=True)
+    x = jnp.asarray(rng.randn(1, T, topo.num_pdfs).astype(np.float32))
+    res = viterbi_align(x, np.array([T], np.int32), _batch([g]))
+    durs = durations_from_alignment(np.asarray(res.states[0]))
+    assert len(durs) == len(phones) and sum(durs) == T
+    assert all(d >= 1 for d in durs)
+    seq = alignment_to_pdf_sequence(phones, durs, topo)
+    np.testing.assert_array_equal(np.asarray(res.pdfs[0]), seq)
+
+
+def test_batch_unequal_lengths_match_individual():
+    topo = ChainTopology(num_phones=4)
+    rng = np.random.RandomState(4)
+    specs = [([1, 2], 8), ([0, 3, 2], 11), ([2], 5)]
+    graphs = [ChainGraph(make_numerator_fst(p, topo), log_domain=True)
+              for p, _ in specs]
+    lengths = np.array([t for _, t in specs], np.int32)
+    T = int(lengths.max())
+    x = jnp.asarray(rng.randn(3, T, topo.num_pdfs).astype(np.float32))
+    res = viterbi_align(x, lengths, _batch(graphs))
+    for b, (p, t) in enumerate(specs):
+        solo = viterbi_align(x[b:b + 1, :t], np.array([t], np.int32),
+                             _batch([graphs[b]]))
+        np.testing.assert_allclose(float(res.objf[b]),
+                                   float(solo.objf[0]), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(res.pdfs[b, :t]),
+                                      np.asarray(solo.pdfs[0]))
+        assert np.all(np.asarray(res.pdfs[b, t:]) == -1)
+
+
+def test_infeasible_length_reports_not_ok():
+    g = ChainGraph(linear_fst([0, 1, 2, 3]), log_domain=True)
+    x = jnp.zeros((1, 6, 5), jnp.float32)
+    res = viterbi_align(x, np.array([6], np.int32), _batch([g]))
+    assert not bool(res.ok[0])
+    assert np.isneginf(float(res.objf[0]))
+    assert np.all(np.asarray(res.pdfs) == -1)
+
+
+def test_shared_broadcast_batch():
+    topo = ChainTopology(num_phones=3)
+    g = ChainGraph(make_numerator_fst([0, 2, 1], topo), log_domain=True)
+    rng = np.random.RandomState(5)
+    B, T = 3, 9
+    x = jnp.asarray(rng.randn(B, T, topo.num_pdfs).astype(np.float32))
+    shared = viterbi_align(x, np.full(B, T, np.int32),
+                           ChainGraphBatch(g, B))
+    listed = viterbi_align(x, np.full(B, T, np.int32), _batch([g] * B))
+    np.testing.assert_allclose(np.asarray(shared.objf),
+                               np.asarray(listed.objf), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(shared.pdfs),
+                                  np.asarray(listed.pdfs))
+
+
+def test_prob_domain_graph_rejected():
+    topo = ChainTopology(num_phones=3)
+    from pychain_tpu.utils.testgraphs import denominator_fst
+    den_fst, _ = denominator_fst(num_phones=4, states_per_phone=2, seed=0)
+    den = ChainGraph(den_fst, log_domain=False)
+    x = jnp.zeros((2, 4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="log-domain"):
+        viterbi_align(x, np.array([4, 4], np.int32),
+                      ChainGraphBatch(den, 2))
+
+
+def test_durations_from_alignment_validation():
+    with pytest.raises(ValueError):
+        durations_from_alignment(np.array([[1, 1], [1, 2]]))
+    with pytest.raises(ValueError):
+        durations_from_alignment(np.array([2, 2, 3]))  # starts at 2
+    with pytest.raises(ValueError):
+        durations_from_alignment(np.array([1, 3]))     # jumps by 2
+    assert durations_from_alignment(np.array([1, 1, 2, 3, 3, -1]),
+                                    ) == [2, 1, 2]
