@@ -207,6 +207,14 @@ def main():
                          "exact alignment (linear engine), tolerance "
                          "windows (leveled engine), or flat-start "
                          "(semiring engine)")
+    ap.add_argument("--realign-at", type=int, default=0,
+                    help="with flat-start numerators: at this step, "
+                         "viterbi-align every utterance with the "
+                         "current model and continue training on "
+                         "tolerance-constrained supervision (the "
+                         "native two-stage e2e recipe)")
+    ap.add_argument("--tolerance", type=int, default=3,
+                    help="boundary tolerance for --realign-at graphs")
     args = ap.parse_args()
 
     data_dir = args.data_dir
@@ -302,15 +310,66 @@ def main():
                 num_g = jax.device_put(num_g, sh)
             yield x_j, lens_j, num_g, den_g, lens
 
+    def flat_graph_phones(g):
+        """Recover the phone sequence from a flat-start numerator graph
+        (state i+1 <=> phone position i; entry arcs carry the forward
+        pdf 2*phone of the non-shared chain topology)."""
+        tr = np.asarray(g.forward_transitions)
+        n = g.num_states - 1
+        phones_arr = np.zeros(n, np.int64)
+        fwd = tr[tr[:, 0] + 1 == tr[:, 1]]
+        phones_arr[fwd[:, 1] - 1] = fwd[:, 2] // 2
+        return [int(p) for p in phones_arr]
+
+    def realign(params):
+        """Viterbi-align every utterance with the current model and
+        swap the flat-start numerators for tolerance-constrained ones
+        (graphs/builder.py) — stage 2 of the native e2e recipe."""
+        nonlocal max_arcs, max_states
+        from pychain_tpu import viterbi_align
+        from pychain_tpu.graphs import durations_from_alignment
+        topo = ChainTopology(num_phones=P // 2)
+        for c in range(0, len(keys), args.batch_size):
+            idx = list(range(c, min(c + args.batch_size, len(keys))))
+            t_pad = bucketer.padded_shape(lengths_all, idx)
+            x, lens = pad_to_bucket(feats, idx, t_pad)
+            nb = ChainGraphBatch(
+                [nums[i] for i in idx],
+                max_num_transitions=max_arcs, max_num_states=max_states)
+            out = apply_model(params, jnp.asarray(x), jnp.asarray(lens))
+            res = viterbi_align(out, jnp.asarray(lens), nb)
+            for j, i in enumerate(idx):
+                if not bool(res.ok[j]):
+                    print(f"  {keys[i]}: no alignment, keeping "
+                          "flat-start graph")
+                    continue
+                durs = durations_from_alignment(
+                    np.asarray(res.states[j]), int(lens[j]))
+                phones = flat_graph_phones(nums[i])
+                nums[i] = ChainGraph(
+                    make_constrained_numerator(phones, durs, topo,
+                                               tolerance=args.tolerance),
+                    log_domain=True)
+        max_states = max(g.num_states for g in nums) + 1
+        max_arcs = max(g.num_transitions for g in nums) + 1
+
     step, epoch = step0, 0
     t_start = time.time()
     loss = float("nan")
+    realigned = False
     while step < args.steps:
         epoch += 1
         with prefetch(assemble_batches(epoch), depth=2) as batches:
             for x_j, lens_j, num_g, den_g, lens in batches:
                 if step >= args.steps:
                     break
+                if (args.realign_at and not realigned
+                        and step >= args.realign_at):
+                    print(f"realigning {len(keys)} utterances at step "
+                          f"{step} (tolerance {args.tolerance})")
+                    realign(params)
+                    realigned = True
+                    break  # discard prefetched flat-start batches
                 loss, params, opt_state = train_step(
                     params, opt_state, x_j, lens_j, num_g, den_g)
                 step += 1
