@@ -17,6 +17,7 @@ from .loss import (
     chain_function,
     chain_function_with_aux,
     chain_loss,
+    chain_loss_xent,
 )
 from .graphs.fst import FST
 from .ops.viterbi import ViterbiResult, viterbi_align
@@ -36,6 +37,7 @@ __all__ = [
     "chain_function",
     "chain_function_with_aux",
     "chain_loss",
+    "chain_loss_xent",
     "FST",
     "ViterbiResult",
     "viterbi_align",

@@ -334,6 +334,39 @@ def chain_loss(x, x_lengths, num_graphs, den_graph_batch,
     return objf
 
 
+def chain_loss_xent(x, xent_out, x_lengths, num_graphs, den_graph_batch,
+                    leaky_coefficient=1e-5, xent_regularize=0.1,
+                    avg=True):
+    """LF-MMI with cross-entropy regularization, the standard Kaldi
+    chain recipe companion objective (the reference computes only the
+    MMI term; Kaldi's chain models add a second "xent" output head
+    trained toward the numerator occupation posteriors).
+
+    ``x`` feeds the MMI term; ``xent_out`` (same shape) is the xent
+    head's log-likelihoods.  The numerator forward-backward runs ONCE:
+    its objf enters the MMI term and its posteriors (stop-gradient, so
+    they act as soft targets) weight ``log_softmax(xent_out)``.
+
+    Returns ``(loss, (mmi, xent))`` where
+    ``loss = mmi + xent_regularize * xent``; both sub-terms follow the
+    ``avg`` convention (divide by total frames).
+    """
+    lengths = jnp.asarray(x_lengths)
+    den_objf = chain_function(x, lengths, den_graph_batch,
+                              leaky_coefficient)
+    num_objf, aux = chain_function_with_aux(x, lengths, num_graphs)
+    mmi = -(num_objf - den_objf)
+    # soft targets: numerator posteriors, zero on padded frames
+    gamma = jax.lax.stop_gradient(aux.gamma)
+    logp = jax.nn.log_softmax(xent_out, axis=-1)
+    xent = -jnp.sum(gamma * logp)
+    if avg:
+        denom = lengths.sum()
+        mmi = mmi / denom
+        xent = xent / denom
+    return mmi + xent_regularize * xent, (mmi, xent)
+
+
 class ChainLoss:
     """Drop-in equivalent of ``pychain.ChainLoss`` (loss.py:90-105).
 
