@@ -336,7 +336,7 @@ def chain_loss(x, x_lengths, num_graphs, den_graph_batch,
 
 def chain_loss_xent(x, xent_out, x_lengths, num_graphs, den_graph_batch,
                     leaky_coefficient=1e-5, xent_regularize=0.1,
-                    avg=True):
+                    l2_regularize=0.0, avg=True):
     """LF-MMI with cross-entropy regularization, the standard Kaldi
     chain recipe companion objective (the reference computes only the
     MMI term; Kaldi's chain models add a second "xent" output head
@@ -347,9 +347,13 @@ def chain_loss_xent(x, xent_out, x_lengths, num_graphs, den_graph_batch,
     its objf enters the MMI term and its posteriors (stop-gradient, so
     they act as soft targets) weight ``log_softmax(xent_out)``.
 
+    ``l2_regularize`` penalizes the chain output's magnitude on real
+    frames (Kaldi's output-l2), keeping the unnormalized
+    log-likelihoods from drifting.
+
     Returns ``(loss, (mmi, xent))`` where
-    ``loss = mmi + xent_regularize * xent``; both sub-terms follow the
-    ``avg`` convention (divide by total frames).
+    ``loss = mmi + xent_regularize * xent + l2_regularize * l2``; the
+    sub-terms follow the ``avg`` convention (divide by total frames).
     """
     lengths = jnp.asarray(x_lengths)
     den_objf = chain_function(x, lengths, den_graph_batch,
@@ -360,11 +364,15 @@ def chain_loss_xent(x, xent_out, x_lengths, num_graphs, den_graph_batch,
     gamma = jax.lax.stop_gradient(aux.gamma)
     logp = jax.nn.log_softmax(xent_out, axis=-1)
     xent = -jnp.sum(gamma * logp)
+    T = x.shape[1]
+    frame_mask = (jnp.arange(T)[None, :] < lengths[:, None])
+    l2 = 0.5 * jnp.sum(jnp.square(x) * frame_mask[:, :, None])
     if avg:
         denom = lengths.sum()
         mmi = mmi / denom
         xent = xent / denom
-    return mmi + xent_regularize * xent, (mmi, xent)
+        l2 = l2 / denom
+    return mmi + xent_regularize * xent + l2_regularize * l2, (mmi, xent)
 
 
 class ChainLoss:

@@ -66,6 +66,17 @@ def test_gradients_flow_and_targets_are_constant():
     np.testing.assert_allclose(per_frame, 0.0, atol=1e-6)
 
 
+def test_l2_regularizer():
+    x, xent_out, lengths, num_b, den, _, _ = _setup()
+    base, _ = chain_loss_xent(x, xent_out, lengths, num_b, den,
+                              xent_regularize=0.0, l2_regularize=0.0)
+    reg, _ = chain_loss_xent(x, xent_out, lengths, num_b, den,
+                             xent_regularize=0.0, l2_regularize=0.01)
+    expect_l2 = 0.5 * float(jnp.sum(jnp.square(x))) / lengths.sum()
+    np.testing.assert_allclose(float(reg) - float(base),
+                               0.01 * expect_l2, rtol=1e-4)
+
+
 def test_padded_frames_contribute_nothing():
     x, xent_out, _, num_b, den, _, P = _setup()
     B, T = x.shape[0], x.shape[1]
