@@ -1,4 +1,6 @@
 from .bucketing import BucketSpec, LengthBucketer, pad_to_bucket
+from .features import (FbankConfig, fbank, fbank_batch, mel_banks,
+                       num_frames, read_wav, write_wav)
 from .prefetch import Prefetcher, prefetch
 from .kaldi_features import (
     load_scp_entry,
@@ -21,4 +23,11 @@ __all__ = [
     "scan_feats_ark",
     "Prefetcher",
     "prefetch",
+    "FbankConfig",
+    "fbank",
+    "fbank_batch",
+    "mel_banks",
+    "num_frames",
+    "read_wav",
+    "write_wav",
 ]
