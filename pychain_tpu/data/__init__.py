@@ -1,6 +1,6 @@
 from .bucketing import BucketSpec, LengthBucketer, pad_to_bucket
-from .features import (FbankConfig, fbank, fbank_batch, mel_banks,
-                       num_frames, read_wav, write_wav)
+from .features import (FbankConfig, add_deltas, cmvn, fbank, fbank_batch,
+                       mel_banks, mfcc, num_frames, read_wav, write_wav)
 from .prefetch import Prefetcher, prefetch
 from .kaldi_features import (
     load_scp_entry,
@@ -24,6 +24,9 @@ __all__ = [
     "Prefetcher",
     "prefetch",
     "FbankConfig",
+    "add_deltas",
+    "cmvn",
+    "mfcc",
     "fbank",
     "fbank_batch",
     "mel_banks",

@@ -160,6 +160,63 @@ def fbank_batch(samples, cfg: FbankConfig = FbankConfig()):
     return jnp.log(jnp.maximum(mel, cfg.log_floor))
 
 
+def mfcc(samples, cfg: FbankConfig = FbankConfig(), num_ceps: int = 13):
+    """MFCCs: DCT-II (orthonormal) of the log-mel filterbanks,
+    keeping the first ``num_ceps`` coefficients."""
+    if num_ceps > cfg.num_bins:
+        raise ValueError("num_ceps cannot exceed num_bins")
+    fb = fbank(samples, cfg).astype(np.float64)
+    return _dct_matrix(cfg.num_bins, num_ceps).dot(fb.T).T.astype(
+        np.float32)
+
+
+def _dct_matrix(n: int, k: int) -> np.ndarray:
+    """(k, n) orthonormal DCT-II matrix."""
+    m = np.cos(np.pi / n * (np.arange(n) + 0.5)[None, :]
+               * np.arange(k)[:, None])
+    m *= np.sqrt(2.0 / n)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+def cmvn(feats, length=None, norm_vars: bool = False):
+    """Per-utterance cepstral mean (and optional variance)
+    normalization over the real frames.  feats (T, D) numpy."""
+    x = np.asarray(feats, np.float32)
+    n = x.shape[0] if length is None else int(length)
+    if n < 1:
+        return x
+    mean = x[:n].mean(axis=0)
+    out = x - mean
+    if norm_vars:
+        std = x[:n].std(axis=0)
+        out = out / np.maximum(std, 1e-8)
+    return out
+
+
+def add_deltas(feats, window: int = 2, order: int = 2):
+    """Append delta (and delta-delta, ...) features, Kaldi-style
+    regression over ``window`` frames with edge replication.
+    feats (T, D) -> (T, D * (order + 1))."""
+    x = np.asarray(feats, np.float32)
+    T = x.shape[0]
+    if T == 0:
+        return x.reshape(0, x.shape[1] * (order + 1))
+    denom = 2.0 * sum(i * i for i in range(1, window + 1))
+    outs = [x]
+    cur = x
+    for _ in range(order):
+        pad = np.concatenate([np.repeat(cur[:1], window, axis=0), cur,
+                              np.repeat(cur[-1:], window, axis=0)])
+        d = np.zeros_like(cur)
+        for i in range(1, window + 1):
+            d += i * (pad[window + i:window + i + T]
+                      - pad[window - i:window - i + T])
+        cur = d / denom
+        outs.append(cur)
+    return np.concatenate(outs, axis=1)
+
+
 # ----------------------------------------------------------------------
 # Minimal WAV I/O (PCM16 / float32 mono), no external deps
 # ----------------------------------------------------------------------

@@ -7,8 +7,9 @@ import tempfile
 import numpy as np
 import pytest
 
-from pychain_tpu.data import (FbankConfig, fbank, fbank_batch, mel_banks,
-                              num_frames, read_wav, write_wav)
+from pychain_tpu.data import (FbankConfig, add_deltas, cmvn, fbank,
+                              fbank_batch, mel_banks, mfcc, num_frames,
+                              read_wav, write_wav)
 
 
 CFG = FbankConfig(sample_rate=16000, num_bins=24)
@@ -93,6 +94,46 @@ def test_short_signal_empty_output():
     assert fbank(np.zeros(10, np.float32), CFG).shape == (0, 24)
     out = fbank_batch(np.zeros((2, 10), np.float32), CFG)
     assert out.shape == (2, 0, 24)
+
+
+def test_mfcc_dct_orthonormal_and_shape():
+    rng = np.random.RandomState(3)
+    x = rng.randn(8000).astype(np.float32) * 0.2
+    m = mfcc(x, CFG, num_ceps=13)
+    assert m.shape == (num_frames(8000, CFG), 13)
+    # DCT with num_ceps == num_bins preserves energy (orthonormal)
+    full = mfcc(x, CFG, num_ceps=CFG.num_bins)
+    fb = fbank(x, CFG)
+    np.testing.assert_allclose((full ** 2).sum(axis=1),
+                               (fb ** 2).sum(axis=1), rtol=1e-3)
+    with pytest.raises(ValueError):
+        mfcc(x, CFG, num_ceps=CFG.num_bins + 1)
+
+
+def test_cmvn():
+    rng = np.random.RandomState(4)
+    x = rng.randn(50, 10).astype(np.float32) * 3 + 5
+    y = cmvn(x)
+    np.testing.assert_allclose(y.mean(axis=0), 0.0, atol=1e-5)
+    z = cmvn(x, norm_vars=True)
+    np.testing.assert_allclose(z.std(axis=0), 1.0, atol=1e-4)
+    # with a length, only real frames define the stats
+    x2 = np.concatenate([x, np.full((5, 10), 100, np.float32)])
+    y2 = cmvn(x2, length=50)
+    np.testing.assert_allclose(y2[:50], y, atol=1e-5)
+
+
+def test_deltas():
+    # a linear ramp has constant first delta and zero second delta
+    T, D = 20, 3
+    ramp = np.outer(np.arange(T, dtype=np.float32), np.ones(D))
+    out = add_deltas(ramp, window=2, order=2)
+    assert out.shape == (T, D * 3)
+    d1 = out[:, D:2 * D]
+    interior = d1[2:-2]
+    np.testing.assert_allclose(interior, 1.0, atol=1e-5)
+    d2 = out[4:-4, 2 * D:]
+    np.testing.assert_allclose(d2, 0.0, atol=1e-5)
 
 
 def test_config_validation():
