@@ -132,6 +132,15 @@ def main():
         updates, new_opt = tx.update(grads, opt_state)
         return loss, parts, optax.apply_updates(params, updates), new_opt
 
+    from pychain_tpu.decode import PhoneDecoder, phone_error_rate
+    decoder = PhoneDecoder(lm, topo)
+
+    def eval_per(p):
+        out = model.apply(p, feats, train=False)
+        res = decoder(out, lengths)
+        return phone_error_rate(transcripts, res.phones)
+
+    per0 = eval_per(params)
     t0 = time.time()
     first = None
     for s in range(1, args.steps + 1):
@@ -141,8 +150,11 @@ def main():
         if s % 5 == 0 or s == 1:
             print(f"step {s}: loss={float(loss):.4f} mmi={float(mmi):.4f} "
                   f"xent={float(xent):.4f}")
+    per1 = eval_per(params)
     print(f"done: {args.steps} steps in {time.time() - t0:.1f}s; "
-          f"loss {first:.4f} -> {float(loss):.4f}")
+          f"loss {first:.4f} -> {float(loss):.4f}; "
+          f"phone error rate {per0:.2%} -> {per1:.2%} "
+          "(native Viterbi decode)")
     assert float(loss) < first, "training did not reduce the loss"
     return float(loss)
 
