@@ -96,6 +96,9 @@ def make_synthetic_corpus(data_dir, utts=96, feat_dim=40, num_phones=24,
         lm = estimate_phone_lm(transcripts, num_phones=num_phones, order=2)
         den_fst = make_denominator_fst(lm, topo)
         P = topo.num_pdfs
+        with open(os.path.join(data_dir, "text"), "w") as f:
+            for i, t in enumerate(transcripts):
+                f.write(f"utt{i:04d} {' '.join(map(str, t))}\n")
         for i, (phones, durs) in enumerate(plans):
             key = f"utt{i:04d}"
             seq = alignment_to_pdf_sequence(phones, durs, topo)
@@ -138,21 +141,66 @@ def make_synthetic_corpus(data_dir, utts=96, feat_dim=40, num_phones=24,
 # ----------------------------------------------------------------------
 
 def load_corpus(data_dir):
-    """feats.scp + num.scp + den.fst -> (keys, feats, num ChainGraphs,
-    den ChainGraph)."""
+    """Kaldi-style data dir -> (keys, feats, num ChainGraphs, den
+    ChainGraph).
+
+    Two layouts are accepted:
+
+    * **Precompiled graphs** (what Kaldi's chain pipeline writes, and
+      what the reference consumes): ``feats.scp`` + ``num.scp``/
+      ``num.ark`` + ``den.fst``.
+    * **Transcripts only**: ``feats.scp`` + ``text`` (integer phone
+      ids, or words with a ``lexicon.txt`` beside it).  The phone LM,
+      denominator, and flat-start numerators are then built natively
+      (graphs/builder.py) — no Kaldi anywhere.
+    """
     feat_entries = read_scp(os.path.join(data_dir, "feats.scp"))
-    num_entries = {k: (p, o) for k, p, o in
-                   read_scp(os.path.join(data_dir, "num.scp"))}
-    keys, feats, nums = [], [], []
+    num_scp = os.path.join(data_dir, "num.scp")
+    den_path = os.path.join(data_dir, "den.fst")
+
+    if os.path.exists(num_scp):
+        num_entries = {k: (p, o) for k, p, o in read_scp(num_scp)}
+        keys, feats, nums = [], [], []
+        for key, path, off in feat_entries:
+            if key not in num_entries:
+                continue  # no supervision for this utterance
+            keys.append(key)
+            feats.append(load_scp_entry(path, off))
+            npath, noff = num_entries[key]
+            nums.append(ChainGraph(FST.read_ark(npath, noff),
+                                   log_domain=True))
+        den = ChainGraph(FST.read(den_path), log_domain=False)
+        return keys, feats, nums, den
+
+    # transcripts-only layout: build everything natively
+    from pychain_tpu.graphs import read_lexicon, read_transcripts
+    text_path = os.path.join(data_dir, "text")
+    if not os.path.exists(text_path):
+        raise FileNotFoundError(
+            f"{data_dir}: need either num.scp (precompiled graphs) or "
+            "text (transcripts for native graph building)")
+    lex_path = os.path.join(data_dir, "lexicon.txt")
+    lexicon = read_lexicon(lex_path) if os.path.exists(lex_path) else None
+    transcripts = read_transcripts(text_path, lexicon)
+    keys, feats, phone_seqs = [], [], []
     for key, path, off in feat_entries:
-        if key not in num_entries:
-            continue  # no supervision for this utterance
+        if key not in transcripts or not transcripts[key]:
+            continue
         keys.append(key)
         feats.append(load_scp_entry(path, off))
-        npath, noff = num_entries[key]
-        nums.append(ChainGraph(FST.read_ark(npath, noff), log_domain=True))
-    den = ChainGraph(FST.read(os.path.join(data_dir, "den.fst")),
-                     log_domain=False)
+        phone_seqs.append(transcripts[key])
+    num_phones = 1 + max(max(t) for t in phone_seqs)
+    topo = ChainTopology(num_phones=num_phones)
+    lm = estimate_phone_lm(phone_seqs, num_phones=num_phones, order=2)
+    if os.path.exists(den_path):
+        den = ChainGraph(FST.read(den_path), log_domain=False)
+    else:
+        den = ChainGraph(make_denominator_fst(lm, topo), log_domain=False)
+    nums = [ChainGraph(make_numerator_fst(t, topo), log_domain=True)
+            for t in phone_seqs]
+    print(f"built graphs natively from {text_path}: {len(keys)} utts, "
+          f"{num_phones} phones"
+          + (" (lexicon expanded)" if lexicon else ""))
     return keys, feats, nums, den
 
 

@@ -3,7 +3,8 @@ from .compiler import CompiledGraph, compile_fst, leaky_probs
 from .builder import (ChainTopology, PhoneLM, alignment_to_pdf_sequence,
                       durations_from_alignment, estimate_phone_lm,
                       make_constrained_numerator, make_denominator_fst,
-                      make_numerator_fst)
+                      make_numerator_fst, read_lexicon, read_transcripts,
+                      words_to_phones)
 
 __all__ = [
     "FST",
@@ -20,4 +21,7 @@ __all__ = [
     "make_constrained_numerator",
     "make_denominator_fst",
     "make_numerator_fst",
+    "read_lexicon",
+    "read_transcripts",
+    "words_to_phones",
 ]

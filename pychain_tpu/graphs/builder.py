@@ -455,6 +455,63 @@ def make_constrained_numerator(phones, durations, topo: ChainTopology,
     return FST.from_arcs(count, 0, arcs, {int(ids[T, n - 1]): 0.0})
 
 
+def read_lexicon(filename: str) -> dict:
+    """Kaldi-style lexicon: ``word phone1 phone2 ...`` per line (phones
+    as integer ids or symbols resolved by the caller).  Later entries
+    for the same word are alternative pronunciations; the FIRST is
+    used by :func:`words_to_phones` (matching the common
+    lexicon-disambiguation default).  Returns
+    {word: [pronunciations], ...} with each pronunciation a phone list.
+    """
+    lex = {}
+    with open(filename) as f:
+        for ln in f:
+            parts = ln.split()
+            if not parts:
+                continue
+            word, phones = parts[0], parts[1:]
+            if not phones:
+                raise ValueError(f"lexicon entry for {word!r} has no "
+                                 "phones")
+            lex.setdefault(word, []).append([int(p) for p in phones])
+    return lex
+
+
+def words_to_phones(words, lexicon: dict):
+    """Expand a word transcript into a phone-id sequence using each
+    word's first pronunciation."""
+    phones = []
+    for w in words:
+        if w not in lexicon:
+            raise KeyError(f"word {w!r} not in lexicon")
+        phones.extend(lexicon[w][0])
+    return phones
+
+
+def read_transcripts(filename: str, lexicon: dict = None) -> dict:
+    """Kaldi ``text`` file: ``utt-id token token ...`` per line.
+    Tokens are integer phone ids, or words when ``lexicon`` is given.
+    Returns {utt_id: phone-id list}."""
+    out = {}
+    with open(filename) as f:
+        for ln in f:
+            parts = ln.split()
+            if not parts:
+                continue
+            utt, toks = parts[0], parts[1:]
+            if lexicon is not None:
+                out[utt] = words_to_phones(toks, lexicon)
+            else:
+                try:
+                    out[utt] = [int(t) for t in toks]
+                except ValueError as e:
+                    raise ValueError(
+                        f"{filename}: transcript for {utt} has "
+                        "non-integer tokens; pass a lexicon to expand "
+                        "words") from e
+    return out
+
+
 def durations_from_alignment(states, length=None):
     """Recover per-phone durations from a ``viterbi_align`` state
     sequence over a :func:`make_numerator_fst` graph (where state i+1

@@ -407,6 +407,36 @@ def test_constrained_wide_tolerance_warns_and_computes():
     assert np.isfinite(float(auto))
 
 
+def test_lexicon_and_transcripts(tmp_path):
+    from pychain_tpu.graphs.builder import (read_lexicon,
+                                            read_transcripts,
+                                            words_to_phones)
+    lex_file = tmp_path / "lexicon.txt"
+    lex_file.write_text("cat 0 1 2\ndog 3 4\ncat 0 5\n\n")
+    lex = read_lexicon(str(lex_file))
+    assert lex["cat"] == [[0, 1, 2], [0, 5]]  # both prons, first wins
+    assert words_to_phones(["dog", "cat"], lex) == [3, 4, 0, 1, 2]
+    with pytest.raises(KeyError):
+        words_to_phones(["bird"], lex)
+
+    text_file = tmp_path / "text"
+    text_file.write_text("utt1 cat dog\nutt2 dog\n")
+    trans = read_transcripts(str(text_file), lex)
+    assert trans == {"utt1": [0, 1, 2, 3, 4], "utt2": [3, 4]}
+
+    ids_file = tmp_path / "text_ids"
+    ids_file.write_text("utt1 0 1 1\nutt2 2\n")
+    assert read_transcripts(str(ids_file)) == {"utt1": [0, 1, 1],
+                                               "utt2": [2]}
+    with pytest.raises(ValueError, match="lexicon"):
+        read_transcripts(str(text_file))  # words without a lexicon
+
+    bad_lex = tmp_path / "bad.txt"
+    bad_lex.write_text("wordonly\n")
+    with pytest.raises(ValueError):
+        read_lexicon(str(bad_lex))
+
+
 def test_builder_input_validation():
     topo = ChainTopology(num_phones=3)
     with pytest.raises(ValueError):
