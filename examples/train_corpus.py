@@ -189,6 +189,12 @@ def load_corpus(data_dir):
         keys.append(key)
         feats.append(load_scp_entry(path, off))
         phone_seqs.append(transcripts[key])
+    if not keys:
+        raise ValueError(
+            f"{data_dir}: no utterance key appears in BOTH feats.scp "
+            f"({len(feat_entries)} entries) and {text_path} "
+            f"({len(transcripts)} entries) with a non-empty transcript "
+            "— check for a key-format mismatch")
     num_phones = 1 + max(max(t) for t in phone_seqs)
     topo = ChainTopology(num_phones=num_phones)
     lm = estimate_phone_lm(phone_seqs, num_phones=num_phones, order=2)

@@ -43,7 +43,8 @@ def synth_corpus(data_dir, utts=16, num_phones=8, seed=0):
     """Tone-per-phone synthetic speech with transcripts."""
     rng = np.random.RandomState(seed)
     os.makedirs(data_dir, exist_ok=True)
-    freqs = 300.0 * (1.35 ** np.arange(num_phones))  # distinct tones
+    # distinct tones, all safely below Nyquist (SR/2 = 8 kHz)
+    freqs = np.linspace(300.0, 7000.0, num_phones)
     markov = rng.dirichlet(np.ones(num_phones) * 0.4, size=num_phones)
     transcripts = []
     for i in range(utts):
@@ -73,6 +74,8 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--num-phones", type=int, default=8)
     args = ap.parse_args()
+    if args.steps < 1:
+        ap.error("--steps must be >= 1")
 
     from pychain_tpu.utils.backend import tpu_tunnel_alive, tunnel_env_set
     if tunnel_env_set() and not tpu_tunnel_alive():

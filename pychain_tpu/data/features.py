@@ -138,6 +138,9 @@ def fbank_batch(samples, cfg: FbankConfig = FbankConfig()):
     """
     import jax.numpy as jnp
 
+    if (hasattr(samples, "dtype")
+            and np.dtype(samples.dtype) == np.int16):
+        samples = np.asarray(samples).astype(np.float32) / 32768.0
     x = jnp.asarray(samples, jnp.float32)
     if x.ndim != 2:
         raise ValueError("expected (B, N) samples")
@@ -235,6 +238,8 @@ def read_wav(filename: str):
                 raise ValueError("no data chunk")
             tag, sz = struct.unpack("<4sI", hdr)
             if tag == b"fmt ":
+                if sz < 16:
+                    raise ValueError(f"malformed fmt chunk (size {sz})")
                 fmt = struct.unpack("<HHIIHH", f.read(16))
                 f.read(sz - 16)
             elif tag == b"data":

@@ -47,11 +47,13 @@ class PhoneDecoder:
         self.topo = topo
         fst = make_denominator_fst(lm, topo, prune_prob=prune_prob)
         self.graph = ChainGraph(fst, log_domain=True)
+        self._batches = {}  # batch_size -> ChainGraphBatch cache
 
     def __call__(self, x, x_lengths) -> DecodeResult:
         B = x.shape[0]
-        batch = ChainGraphBatch(self.graph, B)
-        res = viterbi_align(x, x_lengths, batch)
+        if B not in self._batches:
+            self._batches[B] = ChainGraphBatch(self.graph, B)
+        res = viterbi_align(x, x_lengths, self._batches[B])
         lengths = np.asarray(x_lengths)
         pdfs = np.asarray(res.pdfs)
         phones, durations = [], []

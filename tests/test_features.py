@@ -59,6 +59,15 @@ def test_int16_and_float_agree():
     np.testing.assert_allclose(a, b, atol=2e-3)
 
 
+def test_jax_batch_int16_matches_spec():
+    rng = np.random.RandomState(7)
+    x = (rng.randn(2, 6400) * 3000).astype(np.int16)
+    batched = np.asarray(fbank_batch(x, CFG))
+    for b in range(2):
+        np.testing.assert_allclose(batched[b], fbank(x[b], CFG),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_jax_batch_matches_numpy():
     rng = np.random.RandomState(1)
     B, N = 3, 6400
