@@ -115,13 +115,18 @@ class ShardedChainLoss:
     """
 
     def __init__(self, mesh: Mesh, den_graph, leaky_coefficient=1e-5,
-                 avg=True, impl: str = "auto", tile_dtype=None):
+                 avg=True, impl: str = "auto", tile_dtype=None,
+                 xent_regularize=0.0, l2_regularize=0.0):
         from ..graph import ChainGraphBatch
         self.mesh = mesh
         self.den_graph = den_graph
         self.leaky_coefficient = leaky_coefficient
         self.avg = avg
         self.impl = impl
+        # recipe regularizers (see loss.chain_loss_xent): when
+        # xent_regularize > 0, __call__ takes the xent head's output
+        self.xent_regularize = float(xent_regularize)
+        self.l2_regularize = float(l2_regularize)
         # tile_dtype="bfloat16" + impl="pallas": the per-chip fast mode
         # (see ChainLoss) — without it the sharded path silently runs
         # the f32 parity kernels at roughly half the throughput.
@@ -136,21 +141,44 @@ class ShardedChainLoss:
     def _build(self, num_spec):
         leaky_coefficient = self.leaky_coefficient
         avg = self.avg
+        xent_reg = self.xent_regularize
+        l2_reg = self.l2_regularize
 
-        def local_loss(x, lengths, den_g, num_g):
+        def _terms(x, lengths, den_g, num_g, xent_out):
+            from ..loss import chain_function_with_aux
             den_objf = chain_function(x, lengths, den_g,
                                       leaky_coefficient)
-            num_objf = chain_function(x, lengths, num_g)
-            objf = jax.lax.psum(-(num_objf - den_objf), "dp")
+            if xent_reg > 0.0:
+                num_objf, aux = chain_function_with_aux(x, lengths, num_g)
+                gamma = jax.lax.stop_gradient(aux.gamma)
+                logp = jax.nn.log_softmax(xent_out, axis=-1)
+                extra = -xent_reg * jnp.sum(gamma * logp)
+            else:
+                num_objf = chain_function(x, lengths, num_g)
+                extra = jnp.zeros((), x.dtype)
+            if l2_reg > 0.0:
+                T = x.shape[1]
+                mask = jnp.arange(T)[None, :] < lengths[:, None]
+                extra += l2_reg * 0.5 * jnp.sum(
+                    jnp.square(x) * mask[:, :, None])
+            objf = jax.lax.psum(-(num_objf - den_objf) + extra, "dp")
             if avg:
                 objf = objf / jax.lax.psum(lengths.sum(), "dp")
             return objf
 
+        if xent_reg > 0.0:
+            def local_loss(x, lengths, den_g, num_g, xent_out):
+                return _terms(x, lengths, den_g, num_g, xent_out)
+            in_specs = (P("dp"), P("dp"), P(), num_spec, P("dp"))
+        else:
+            def local_loss(x, lengths, den_g, num_g):
+                return _terms(x, lengths, den_g, num_g, None)
+            in_specs = (P("dp"), P("dp"), P(), num_spec)
+
         # check_vma off: see pjit_chain_function.
         return jax.jit(shard_map(
             local_loss, mesh=self.mesh,
-            in_specs=(P("dp"), P("dp"), P(), num_spec),
-            out_specs=P(), check_vma=False))
+            in_specs=in_specs, out_specs=P(), check_vma=False))
 
     def den_arrays(self, batch_size: int):
         """Engine arrays for the denominator broadcast to the PER-DEVICE
@@ -167,15 +195,23 @@ class ShardedChainLoss:
                     self.impl)
         return self._den_cache[batch_size]
 
-    def __call__(self, x, x_lengths, num_graphs):
+    def __call__(self, x, x_lengths, num_graphs, xent_out=None):
         B = x.shape[0]
         n_dp = self.mesh.shape["dp"]
         if B % n_dp != 0:
             raise ValueError(
                 f"batch size {B} not divisible by dp axis size {n_dp}")
+        if (xent_out is None) == (self.xent_regularize > 0.0):
+            raise ValueError(
+                "pass xent_out exactly when xent_regularize > 0 "
+                f"(xent_regularize={self.xent_regularize}, "
+                f"xent_out={'set' if xent_out is not None else 'None'})")
         den = self.den_arrays(B // n_dp)
         num = dispatch_arrays(num_graphs, "auto")
         num_spec = engine_pspec(num)
         if num_spec not in self._fn_cache:
             self._fn_cache[num_spec] = self._build(num_spec)
-        return self._fn_cache[num_spec](x, jnp.asarray(x_lengths), den, num)
+        fn = self._fn_cache[num_spec]
+        if xent_out is None:
+            return fn(x, jnp.asarray(x_lengths), den, num)
+        return fn(x, jnp.asarray(x_lengths), den, num, xent_out)

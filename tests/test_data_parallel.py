@@ -161,3 +161,43 @@ def test_sharded_loss_shared_numerator_batch():
     mesh = make_mesh(n_mp=1)
     got = float(ShardedChainLoss(mesh, den)(x, lengths, num_b))
     assert abs(got - ref) < 1e-4 * max(1.0, abs(ref)), (got, ref)
+
+
+def test_sharded_xent_matches_single_device():
+    """xent+l2 regularized sharded loss == chain_loss_xent on one
+    device, value and gradients (both heads)."""
+    from pychain_tpu import chain_loss_xent
+    den, num_b, x, lengths = _setup(seed=7)
+    rng = np.random.RandomState(8)
+    xent_out = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+    mesh = make_mesh(n_mp=1)
+    sharded = ShardedChainLoss(mesh, den, impl="factorized",
+                               xent_regularize=0.1, l2_regularize=1e-3)
+
+    ref, _ = chain_loss_xent(x, xent_out, lengths, num_b,
+                             ChainGraphBatch(den, x.shape[0]),
+                             xent_regularize=0.1, l2_regularize=1e-3)
+    got = sharded(x, lengths, num_b, xent_out)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-4)
+
+    g_ref = jax.grad(lambda xx, xo: chain_loss_xent(
+        xx, xo, lengths, num_b, ChainGraphBatch(den, x.shape[0]),
+        xent_regularize=0.1, l2_regularize=1e-3)[0],
+        argnums=(0, 1))(x, xent_out)
+    g_dp = jax.grad(lambda xx, xo: sharded(xx, lengths, num_b, xo),
+                    argnums=(0, 1))(x, xent_out)
+    for a, b in zip(g_dp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_xent_argument_contract():
+    den, num_b, x, lengths = _setup(seed=9)
+    mesh = make_mesh(n_mp=1)
+    plain = ShardedChainLoss(mesh, den, impl="factorized")
+    with pytest.raises(ValueError, match="xent_out"):
+        plain(x, lengths, num_b, xent_out=x)
+    reg = ShardedChainLoss(mesh, den, impl="factorized",
+                           xent_regularize=0.1)
+    with pytest.raises(ValueError, match="xent_out"):
+        reg(x, lengths, num_b)
