@@ -33,16 +33,19 @@ from pychain_tpu.utils.testgraphs import denominator_fst  # noqa: E402
 QUICK = "--quick" in sys.argv
 S8K = "--s8k" in sys.argv  # S~8000 scalability entry (beyond VMEM
                            # residency; exercises the XLA fallback)
+FULL = "--full" in sys.argv  # full ChainLoss (den + linear numerators)
+                             # value+grad — the end-to-end training number
 if "--gather" in sys.argv:
     IMPLS = ["gather"]
 elif "--f32" in sys.argv:
     IMPLS = ["factorized"]
-elif S8K:
-    IMPLS = ["pallas"]     # dispatch falls back to the XLA factorized
-                           # engine (fits_vmem) — the point of the entry
+elif S8K or FULL:
+    IMPLS = ["pallas"]     # s8k: dispatch falls back to the XLA
+                           # factorized engine (fits_vmem) — the point
 else:
     IMPLS = ["factorized", "pallas"]  # parity engine + fast engine
-TILE_DTYPE = ("bfloat16" if ("--bf16" in sys.argv or S8K) else None)
+TILE_DTYPE = ("bfloat16" if ("--bf16" in sys.argv or S8K or FULL)
+              else None)
 B, T = (16, 100) if QUICK else ((64, 300) if S8K else (128, 500))
 NUM_PHONES, FANOUT = ((100, 10) if QUICK
                       else ((4000, 30) if S8K else (1500, 30)))
@@ -60,6 +63,63 @@ def _require_live_backend(timeout=300):
         print("# TPU tunnel env is set but the backend is unreachable "
               f"(still blocked after {timeout}s)", file=sys.stderr)
         sys.exit(1)
+
+
+def _bench_full(rng, den, den_batch_bf16, x, lengths, B, T, S, K, P):
+    """Full ChainLoss (bf16 Pallas denominator + linear numerators),
+    value AND gradient — the number a training step actually pays."""
+    from pychain_tpu import ChainGraph, ChainGraphBatch, ChainLoss
+    from pychain_tpu.utils.testgraphs import linear_fst
+
+    nums = [ChainGraph(linear_fst(rng.randint(0, P, size=T)),
+                       log_domain=True) for _ in range(B)]
+    num_batch = ChainGraphBatch(nums, max_num_transitions=T,
+                                max_num_states=T + 1)
+    loss_mod = ChainLoss(den, impl="pallas", tile_dtype="bfloat16")
+    loss_mod._den_batches[B] = den_batch_bf16   # reuse the built batch
+    vg = jax.jit(jax.value_and_grad(
+        lambda xx: loss_mod(xx, lengths, num_batch)))
+
+    t0 = time.time()
+    loss, grad = vg(x)
+    _ = float(loss) + float(grad[0, 0, 0])
+    print(f"# [full] compile+first-run {time.time()-t0:.1f}s "
+          f"loss={float(loss):.6f}", file=sys.stderr)
+
+    def timed(iters):
+        t0 = time.time()
+        for _ in range(iters):
+            l, g = vg(x)
+        _ = float(l) + float(g[0, 0, 0])
+        return (time.time() - t0) / iters
+
+    iters = 3 if QUICK else 30
+    timed(2)
+    best = min(timed(iters) for _ in range(2))
+    ups = B / best
+    print(f"# [full] amortized s/batch over {iters}: {best:.4f} "
+          f"({ups:.0f} utts/s)", file=sys.stderr)
+    vs = None
+    ref = _reference_ups()
+    if ref:
+        vs = ups / ref
+    print(json.dumps({
+        "metric": f"full ChainLoss value+grad utts/sec/chip "
+                  f"(B={B},T={T},S={S},K={K},P={P}; bf16 Pallas den "
+                  f"+ linear numerators)",
+        "value": round(ups, 2),
+        "unit": "utts/sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+def _reference_ups():
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if not os.path.exists(baseline_path):
+        return None
+    with open(baseline_path) as f:
+        return json.load(f).get("reference_cpu", {}).get("utts_per_sec")
 
 
 def main():
@@ -80,6 +140,9 @@ def main():
     # force slow device->host reads during lowering on tunneled backends).
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, P), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
+
+    if FULL:
+        return _bench_full(rng, den, batch_bf16, x, lengths, B, T, S, K, P)
 
     grad_fn = jax.jit(jax.value_and_grad(chain_function))
 
