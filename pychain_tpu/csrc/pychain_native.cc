@@ -551,16 +551,21 @@ int pc_feats_read(const char* path, long offset, float* out) {
     if (fread(u.data(), 1, n, f) != (size_t)n) return fail();
     for (int64_t i = 0; i < n; i++)
       out[i] = minv + rng * u[i] / 255.0f;
-  } else {  // CM: per-column percentile headers + uint8 codes
-    std::vector<uint8_t> col((size_t)8 + rows);
+  } else {  // CM: Kaldi layout — ALL per-column percentile headers
+             // first (cols x 4 uint16), then all code bytes, one
+             // column after another (cols x rows uint8)
+    std::vector<uint16_t> headers((size_t)cols * 4);
+    std::vector<uint8_t> codes((size_t)cols * rows);
+    if (fread(headers.data(), 2, headers.size(), f) != headers.size())
+      return fail();
+    if (fread(codes.data(), 1, codes.size(), f) != codes.size())
+      return fail();
     for (int32_t c = 0; c < cols; c++) {
-      if (fread(col.data(), 1, col.size(), f) != col.size())
-        return fail();
-      const uint16_t* pu = (const uint16_t*)col.data();
+      const uint16_t* pu = headers.data() + (size_t)c * 4;
       float p[4];
       for (int i = 0; i < 4; i++)
         p[i] = minv + rng * pu[i] / 65535.0f;
-      const uint8_t* code = col.data() + 8;
+      const uint8_t* code = codes.data() + (size_t)c * rows;
       for (int32_t r = 0; r < rows; r++) {
         float v, x = (float)code[r];
         if (x <= 64.0f)

@@ -85,14 +85,16 @@ def _read_compressed_matrix(f, tok) -> np.ndarray:
         return (min_value + rng * u.astype(np.float32) / 255.0) \
             .reshape(rows, cols)
     out = np.empty((rows, cols), np.float32)
-    payload = f.read(cols * (8 + rows))
+    # Kaldi layout (compressed-matrix.cc): ALL PerColHeaders first
+    # (num_cols x 4 uint16), then all code bytes, one column after
+    # another (num_cols x num_rows uint8) — NOT interleaved per column.
+    headers = np.frombuffer(f.read(cols * 8), "<u2").reshape(cols, 4)
+    codes = np.frombuffer(f.read(cols * rows), np.uint8)
     for c in range(cols):
-        base = c * (8 + rows)
-        pu = np.frombuffer(payload[base:base + 8], "<u2")
+        pu = headers[c]
         p0, p25, p75, p100 = (
             min_value + rng * pu.astype(np.float32) / 65535.0)
-        code = np.frombuffer(payload[base + 8:base + 8 + rows],
-                             np.uint8).astype(np.float32)
+        code = codes[c * rows:(c + 1) * rows].astype(np.float32)
         lo = p0 + (p25 - p0) * (code / 64.0)
         mid = p25 + (p75 - p25) * ((code - 64.0) / 128.0)
         hi = p75 + (p100 - p75) * ((code - 192.0) / 63.0)
@@ -123,6 +125,7 @@ def write_compressed_matrix(f, mat: np.ndarray, fmt: int = 1) -> None:
         u = np.clip((mat - min_value) / rng * 255.0, 0, 255)
         f.write(u.astype(np.uint8).tobytes())
         return
+    header_parts, code_parts = [], []
     for c in range(cols):
         col = mat[:, c]
         srt = np.sort(col)
@@ -152,8 +155,11 @@ def write_compressed_matrix(f, mat: np.ndarray, fmt: int = 1) -> None:
                                0, 128),
                 192.0 + np.clip((col - p75) / (p100 - p75) * 63.0,
                                 0, 63)))
-        f.write(pu.tobytes())
-        f.write(np.rint(code).astype(np.uint8).tobytes())
+        header_parts.append(pu.tobytes())
+        code_parts.append(np.rint(code).astype(np.uint8).tobytes())
+    # Kaldi layout: all column headers, then all column code bytes
+    f.write(b"".join(header_parts))
+    f.write(b"".join(code_parts))
 
 
 def write_matrix(f, mat: np.ndarray) -> None:

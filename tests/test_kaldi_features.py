@@ -89,3 +89,48 @@ def test_compressed_matrix_constant_max_column():
     got = read_matrix(buf)
     rng_v = float(mat.max() - mat.min())
     assert np.abs(got - mat).max() <= rng_v / 40
+
+
+def test_cm_golden_kaldi_layout():
+    """Decode a CM payload constructed BY HAND per the Kaldi wire
+    format (compressed-matrix.cc): global header, then ALL per-column
+    headers (cols x 4 uint16), then all code bytes column after column
+    (cols x rows uint8).  Pins the layout independently of our own
+    writer, which round-trip tests alone cannot do."""
+    import io
+    import struct
+    from pychain_tpu.data.kaldi_features import read_matrix
+
+    rows, cols = 3, 2
+    minv, rng = -1.0, 2.0
+
+    def to_u16(v):
+        return int(round((v - minv) / rng * 65535.0))
+
+    # column percentiles chosen on the grid so expectations are exact
+    col_p = [(-1.0, -0.5, 0.5, 1.0), (-0.8, 0.0, 0.2, 0.6)]
+    headers = b"".join(struct.pack("<4H", *(to_u16(p) for p in ps))
+                       for ps in col_p)
+    # codes: 0 -> p0, 64 -> p25, 192 -> p75, 255 -> p100
+    codes = bytes([0, 64, 192] + [64, 255, 128])
+    payload = (b"CM " + struct.pack("<ffii", minv, rng, rows, cols)
+               + headers + codes)
+    mat = read_matrix(io.BytesIO(payload))
+    expect = np.array([
+        [-1.0, 0.0],                      # code 0 -> p0 ; 64 -> p25
+        [-0.5, 0.6],                      # 64 -> p25 ; 255 -> p100
+        [0.5, 0.1],                       # 192 -> p75; 128 -> p25+(p75-p25)*0.5
+    ], np.float32)
+    np.testing.assert_allclose(mat, expect, atol=2e-4)
+
+    # the C++ reader agrees on the same bytes
+    from pychain_tpu.csrc import native
+    if native.available():
+        import os
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "g.ark")
+            with open(path, "wb") as f:
+                f.write(b"utt \x00B" + payload)
+            got = native.read_feats(path, 4)
+            np.testing.assert_allclose(got, expect, atol=2e-4)
