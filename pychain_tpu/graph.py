@@ -210,6 +210,10 @@ class ChainGraphBatch:
         self._linear = None
         self._leveled = None
         self._semiring = None
+        # keep the source graphs (references, cheap) so a forced
+        # impl="leveled"/"semiring" can compile its engine lazily even
+        # when auto-detection selected a different one
+        self._graphs = list(graphs)
         if self.log_domain:
             from .ops.linear import is_linear_graph, linear_arrays
             if all(is_linear_graph(g) for g in graphs):
@@ -341,6 +345,15 @@ class ChainGraphBatch:
             v = getattr(self, name)
             if v is not None:
                 setattr(self, name, jnp.take(v, idx, axis=0))
+        # the compiled fast-path engines are per-sequence too (every
+        # leaf is batch-leading) — a stale copy here would silently pair
+        # graphs with the wrong sequences under impl="auto"
+        for name in ("_linear", "_leveled", "_semiring"):
+            v = getattr(self, name)
+            if v is not None:
+                setattr(self, name,
+                        jax.tree.map(lambda a: jnp.take(a, idx, axis=0),
+                                     v))
 
     # -- pytree protocol --------------------------------------------------
     _leaves = ("_fwd_src", "_fwd_dst", "_fwd_pdf", "_fwd_prob",

@@ -89,6 +89,35 @@ def _log_engine(g, impl):
     return g
 
 
+def _force_engine(graphs, kind):
+    """Lazily compile a forced engine for a list batch whose
+    auto-detection picked a different one (e.g. impl="leveled" on a
+    batch of linear graphs — linear chains ARE time-synchronous).
+    Returns None when the batch genuinely does not qualify."""
+    gl = getattr(graphs, "_graphs", None)
+    if gl is None:
+        return None
+    if kind == "leveled":
+        from .ops.leveled import is_leveled_graph, leveled_arrays
+        if all(is_leveled_graph(g) for g in gl):
+            built = leveled_arrays(gl)
+            graphs._leveled = built       # cache for repeat dispatches
+            return built
+        return None
+    if kind == "semiring":
+        from .ops.semiring import fits_budget, semiring_arrays
+        if (gl and gl[0].log_domain
+                and fits_budget(graphs.batch_size,
+                                graphs.num_transitions,
+                                graphs.num_states)):
+            built = semiring_arrays(gl, graphs.num_transitions,
+                                    graphs.num_states)
+            graphs._semiring = built
+            return built
+        return None
+    return None
+
+
 def _dispatch_arrays(graphs, impl):
     if isinstance(graphs, (GraphArrays, FactorizedArrays, LinearArrays,
                            LeveledArrays, SemiringArrays)):
@@ -105,6 +134,9 @@ def _dispatch_arrays(graphs, impl):
     if leveled is not None and impl in ("auto", "leveled"):
         return leveled
     if impl == "leveled":
+        built = _force_engine(graphs, "leveled")
+        if built is not None:
+            return built
         raise ValueError("leveled impl requires a batch of time-"
                          "synchronous log-domain graphs")
     semiring = getattr(graphs, "_semiring", None)
@@ -125,6 +157,15 @@ def _dispatch_arrays(graphs, impl):
             return dataclasses.replace(semiring, engine="pallas")
         return semiring
     if impl in ("semiring", "semiring_pallas"):
+        built = _force_engine(graphs, "semiring")
+        if built is not None:
+            if impl == "semiring_pallas":
+                from .ops.pallas_semiring import supports as sr_supports
+                if not sr_supports(built):
+                    raise ValueError("semiring_pallas: one-hots exceed "
+                                     "the VMEM budget for this batch")
+                return dataclasses.replace(built, engine="pallas")
+            return built
         raise ValueError("semiring impl requires a list-built log-domain "
                          "batch within the one-hot size budget")
     fact = getattr(graphs, "_fact", None)
@@ -263,14 +304,26 @@ _chain_objf_and_aux.defvjp(_chain_objf_and_aux_fwd, _chain_objf_and_aux_bwd)
 
 # -- public functional API ----------------------------------------------
 
-def _check_shapes(x, graphs):
+def _check_shapes(x, graphs, x_lengths=None):
     """Host-side sanity checks at the public boundary.
 
     Batch-size mismatch mirrors the reference (loss.py:32-36).  The pdf
     check is an improvement: the reference only asserts pdf range in a
     debug build (fstext.cc:42) and an out-of-range pdf would otherwise
     flow through the emission gathers as silent NaN/garbage here.
+    Lengths beyond the padded frame axis would likewise produce a
+    silently wrong finite objective (the end-of-sequence capture never
+    fires), so they are rejected whenever they are concrete (under jit
+    tracing the values are unavailable; the eager path catches it).
     """
+    if x_lengths is not None and not isinstance(x_lengths,
+                                                jax.core.Tracer):
+        lens = np.asarray(x_lengths)
+        if lens.size and int(lens.max()) > x.shape[1]:
+            raise ValueError(
+                f"x_lengths (max {int(lens.max())}) exceed the padded "
+                f"frame axis T={x.shape[1]} — the objective would be "
+                "silently wrong")
     if not isinstance(graphs, ChainGraphBatch):
         return
     if x.shape[0] != graphs.batch_size:
@@ -295,7 +348,7 @@ def chain_function(x, x_lengths, graphs, leaky_coefficient=1e-5,
     decreasing length.
     """
     g = dispatch_arrays(graphs, impl)
-    _check_shapes(x, graphs)
+    _check_shapes(x, graphs, x_lengths)
     return _chain_objf(x, jnp.asarray(x_lengths), g,
                        jnp.asarray(leaky_coefficient, dtype=x.dtype))
 
@@ -306,7 +359,7 @@ def chain_function_with_aux(x, x_lengths, graphs, leaky_coefficient=1e-5,
     (objf, aux) with aux.objf per-sequence, aux.ok per-sequence sanity
     flags, and the per-frame invariant traces."""
     g = dispatch_arrays(graphs, impl)
-    _check_shapes(x, graphs)
+    _check_shapes(x, graphs, x_lengths)
     objf, res = _chain_objf_and_aux(
         x, jnp.asarray(x_lengths), g,
         jnp.asarray(leaky_coefficient, dtype=x.dtype))

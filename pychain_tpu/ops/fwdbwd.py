@@ -117,6 +117,14 @@ def _segment_max(values, seg_ids, num_segments: int, shared: bool):
     return jax.vmap(f)(values, seg_ids)
 
 
+def safe_log(v):
+    """log(v) with exact -inf at v <= 0 and no NaN from the masked
+    branch (the inner where keeps log's argument positive).  Shared by
+    the leveled and semiring engines — the guard encodes a subtle
+    NaN-avoidance invariant that must not drift between copies."""
+    return jnp.where(v > 0, jnp.log(jnp.where(v > 0, v, 1.0)), NEG_INF)
+
+
 def _segment_logsumexp(terms, seg_ids, num_segments, shared):
     """Numerically-stable log-semiring segment reduction (B,K)->(B,S).
 

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fwdbwd import FwdBwdResult
+from .fwdbwd import FwdBwdResult, safe_log
 
 NEG_INF = float("-inf")
 
@@ -142,10 +142,6 @@ def leveled_arrays(graphs, dtype=jnp.float32) -> LeveledArrays:
         final=jnp.asarray(final), graph_len=jnp.asarray(glen))
 
 
-def _safe_log(v):
-    return jnp.where(v > 0, jnp.log(jnp.where(v > 0, v, 1.0)), NEG_INF)
-
-
 def _lse(v, axis):
     m = jnp.max(v, axis=axis, keepdims=True)
     msafe = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -179,7 +175,7 @@ def forward_backward_leveled(x, lengths, g: LeveledArrays) -> FwdBwdResult:
     def fwd_step(carry, xs):
         alpha, ll = carry
         aw, oh, t = xs                               # (B,W,A), (B,W,A,W)
-        asel = _safe_log(jnp.einsum("bjaw,bw->bja", oh, jnp.exp(alpha)))
+        asel = safe_log(jnp.einsum("bjaw,bw->bja", oh, jnp.exp(alpha)))
         a_new = _lse(asel + aw, axis=2)              # (B, W)
         # renormalise so exp(alpha) stays in range for the one-hot trick
         m = jnp.max(a_new, axis=1, keepdims=True)
@@ -210,9 +206,9 @@ def forward_backward_leveled(x, lengths, g: LeveledArrays) -> FwdBwdResult:
         beta_eff = jnp.where(inject[:, None],
                              g.final - tlp_local[:, None], beta)
         vf = aw + beta_eff[:, :, None] - m_t[:, None, None]
-        asel = _safe_log(jnp.einsum("bjaw,bw->bja", oh, jnp.exp(a_t)))
+        asel = safe_log(jnp.einsum("bjaw,bw->bja", oh, jnp.exp(a_t)))
         occ = jnp.exp(asel + vf)                     # linear posteriors
-        b_new = _safe_log(jnp.einsum("bjaw,bja->bw", oh, jnp.exp(vf)))
+        b_new = safe_log(jnp.einsum("bjaw,bja->bw", oh, jnp.exp(vf)))
         active = t < lengths
         beta_out = jnp.where(active[:, None], b_new, beta_eff)
         occ = jnp.where(active[:, None, None], occ, 0.0)

@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fwdbwd import FwdBwdResult, _ok_flags
+from .fwdbwd import FwdBwdResult, _ok_flags, safe_log
 
 NEG_INF = float("-inf")
 
@@ -126,10 +126,6 @@ def _gamma_from_occ(occ, g: SemiringArrays, P: int):
     )(occ, g.pdf)
 
 
-def _safe_log(v):
-    return jnp.where(v > 0, jnp.log(jnp.where(v > 0, v, 1.0)), NEG_INF)
-
-
 def _shift_exp(a):
     """(exp(a - max), max-with-safe-zero) along the last axis."""
     m = jnp.max(a, axis=-1, keepdims=True)
@@ -181,7 +177,7 @@ def forward_backward_semiring(x, lengths, g: SemiringArrays) -> FwdBwdResult:
         contrib = asel * w_t                            # (B, K)
         a_lin = jnp.einsum("bks,bk->bs", g.dst_oh, contrib,
                            precision=_PREC)
-        a_t = _add_scale(_safe_log(a_lin), ma + c_t - s_prev)
+        a_t = _add_scale(safe_log(a_lin), ma + c_t - s_prev)
         s_t = jax.nn.logsumexp(a_t, axis=1)
         active = t <= lengths
         ll = ll + jnp.where(t < lengths, s_t, 0.0)
@@ -217,14 +213,14 @@ def forward_backward_semiring(x, lengths, g: SemiringArrays) -> FwdBwdResult:
         vf_lin = w_t * bsel                             # exp(vf-mb-c+s)
         b_lin = jnp.einsum("bks,bk->bs", g.src_oh, vf_lin,
                            precision=_PREC)
-        b_t = _add_scale(_safe_log(b_lin), mb + c_t - s_t)
+        b_t = _add_scale(safe_log(b_lin), mb + c_t - s_t)
 
         ea, ma = _shift_exp(a_t)
         asel = jnp.einsum("bks,bs->bk", g.src_oh, ea,
                           precision=_PREC)
         # occ = exp(vf + a[src]); assembled in log space so large
         # per-factor magnitudes cannot overflow before cancelling
-        occ = jnp.exp(_add_scale(_safe_log(vf_lin) + _safe_log(asel),
+        occ = jnp.exp(_add_scale(safe_log(vf_lin) + safe_log(asel),
                                  ma + mb + c_t - s_t))
         active = (t < lengths)
         b_new = jnp.where(active[:, None], b_t, b_eff)

@@ -74,8 +74,11 @@ def viterbi_align(x, x_lengths, graphs) -> ViterbiResult:
         return jax.vmap(f)(values, seg)
 
     xt = jnp.swapaxes(x, 0, 1)                   # (T, B, P)
+    ts_fwd = jnp.arange(T, dtype=jnp.int32)
 
-    def step(delta, x_t):
+    def step(carry, inputs):
+        delta, delta_end = carry
+        t, x_t = inputs
         # cand[b, a] = delta[b, src[a]] + arc logp + emission at frame t
         cand = (jnp.take_along_axis(delta, src, axis=1) + prob
                 + jnp.take_along_axis(x_t, pdf, axis=1))
@@ -85,15 +88,16 @@ def viterbi_align(x, x_lengths, graphs) -> ViterbiResult:
         # and never win where a real arc exists
         winner = cand == jnp.take_along_axis(new_delta, dst, axis=1)
         bp = seg_max(jnp.where(winner, arc_ids, -1), dst)
-        return new_delta, (new_delta, bp)
+        # capture each sequence's terminal scores in the carry (the
+        # whole (T, B, S) delta history is never needed — fwdbwd.py
+        # avoids the same whole-history take_along_axis)
+        delta_end = jnp.where((t == lengths - 1)[:, None], new_delta,
+                              delta_end)
+        return (new_delta, delta_end), bp
 
     delta0 = initial.astype(x.dtype)
-    _, (deltas, bps) = jax.lax.scan(step, delta0, xt)  # (T, B, S) each
-
-    # per-sequence terminal: delta after len_b frames + final
-    t_end = jnp.clip(lengths - 1, 0, T - 1)
-    delta_end = jnp.take_along_axis(
-        deltas, t_end[None, :, None].astype(jnp.int32), axis=0)[0]
+    (_, delta_end), bps = jax.lax.scan(step, (delta0, delta0),
+                                       (ts_fwd, xt))
     end_score = delta_end + final
     best_end = jnp.argmax(end_score, axis=1).astype(jnp.int32)
     objf = jnp.take_along_axis(end_score, best_end[:, None], axis=1)[:, 0]

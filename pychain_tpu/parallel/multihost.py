@@ -95,7 +95,11 @@ def replicate_to_global(mesh: Mesh, tree: Any) -> Any:
 def _ensure_global(x):
     """Orbax cannot serialize host-local arrays in a multi-process job;
     replicate such leaves (scalars, hyperparams, step counters) onto
-    the global device set first."""
+    the global device set first.  ShapeDtypeStruct templates (the
+    restore path's documented input) pass through: they already carry
+    their target sharding and hold no data to replicate."""
+    if isinstance(x, jax.ShapeDtypeStruct):
+        return x
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         return x  # already a global array
     x = np.asarray(x)
