@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""One-command TPU validation sweep.
+
+Runs, in order, against the real chip (requires the tunnel to be up):
+
+1. the on-chip kernel parity tests (bf16 Pallas + semiring),
+2. bench.py in every mode (headline, --full, --s8k),
+3. the driver entry compile check (__graft_entry__.entry).
+
+Writes a JSON report to --out (default /tmp/tpu_sweep.json) and prints
+a summary line per stage.  Exits nonzero if any stage fails, and fails
+fast with a clear message when the tunnel is unreachable.
+
+Usage:  python tools/tpu_sweep.py [--out report.json] [--skip-tests]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run(cmd, timeout, env=None):
+    t0 = time.time()
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout, cwd=REPO,
+                              env=env or dict(os.environ))
+        return {"cmd": " ".join(cmd), "rc": proc.returncode,
+                "secs": round(time.time() - t0, 1),
+                "stdout": proc.stdout[-4000:],
+                "stderr": proc.stderr[-2000:]}
+    except subprocess.TimeoutExpired:
+        return {"cmd": " ".join(cmd), "rc": -9,
+                "secs": round(time.time() - t0, 1),
+                "stdout": "", "stderr": f"timeout after {timeout}s"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/tpu_sweep.json")
+    ap.add_argument("--skip-tests", action="store_true")
+    args = ap.parse_args()
+
+    from pychain_tpu.utils.backend import tpu_tunnel_alive, tunnel_env_set
+    if not tunnel_env_set():
+        print("no TPU tunnel env; nothing to sweep", file=sys.stderr)
+        return 1
+    if not tpu_tunnel_alive():
+        print("TPU tunnel unreachable; try again later", file=sys.stderr)
+        return 1
+    print("tunnel alive; sweeping", file=sys.stderr)
+
+    report = {"stages": {}}
+    ok = True
+
+    if not args.skip_tests:
+        r = run([sys.executable, "-m", "pytest",
+                 "tests/test_pallas_bf16.py::test_pallas_bf16_on_tpu_hardware",
+                 "tests/test_semiring.py::test_semiring_pallas_on_tpu_hardware",
+                 "-q"], timeout=5400)
+        report["stages"]["onchip_tests"] = r
+        ok &= r["rc"] == 0
+        print(f"[onchip_tests] rc={r['rc']} {r['secs']}s", file=sys.stderr)
+
+    for mode, flags, timeout in (("headline", [], 1800),
+                                 ("full", ["--full"], 1800),
+                                 ("s8k", ["--s8k"], 2400)):
+        r = run([sys.executable, "bench.py"] + flags, timeout=timeout)
+        report["stages"][f"bench_{mode}"] = r
+        line = [ln for ln in r["stdout"].splitlines()
+                if ln.startswith("{")]
+        if line:
+            try:
+                report["stages"][f"bench_{mode}"]["parsed"] = \
+                    json.loads(line[-1])
+            except json.JSONDecodeError:
+                pass
+        ok &= r["rc"] == 0
+        print(f"[bench_{mode}] rc={r['rc']} {r['secs']}s "
+              f"{line[-1] if line else ''}", file=sys.stderr)
+
+    code = ("import jax, __graft_entry__ as g; fn, a = g.entry(); "
+            "print('entry loss', jax.jit(fn)(*a))")
+    r = run([sys.executable, "-c", code], timeout=1800)
+    report["stages"]["entry"] = r
+    ok &= r["rc"] == 0
+    print(f"[entry] rc={r['rc']} {r['secs']}s", file=sys.stderr)
+
+    report["ok"] = ok
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(("SWEEP OK" if ok else "SWEEP FAILED") + f" -> {args.out}",
+          file=sys.stderr)
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
