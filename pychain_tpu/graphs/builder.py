@@ -121,6 +121,31 @@ class PhoneLM:
             h = h[1:]
         return self.state_index[h]
 
+    def save(self, path: str) -> None:
+        """Persist to an .npz (histories flattened with -3 separators —
+        phone ids are >= 0 and BOS/EOS are -1/-2, so -3 is free)."""
+        flat = []
+        for h in self.histories:
+            flat.extend(h)
+            flat.append(-3)
+        np.savez(path, order=self.order, num_phones=self.num_phones,
+                 histories=np.asarray(flat, np.int64),
+                 probs=self.probs, final=self.final,
+                 next_state=self.next_state)
+
+    @staticmethod
+    def load(path: str) -> "PhoneLM":
+        z = np.load(path)
+        histories, cur = [], []
+        for v in z["histories"]:
+            if v == -3:
+                histories.append(tuple(int(p) for p in cur))
+                cur = []
+            else:
+                cur.append(int(v))
+        return PhoneLM(int(z["order"]), int(z["num_phones"]), histories,
+                       z["probs"], z["final"], z["next_state"])
+
     def score(self, phones) -> float:
         """Log-probability (natural log) of one transcript, including
         the EOS event — the exact score the denominator graph assigns

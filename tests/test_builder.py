@@ -11,7 +11,7 @@ import pytest
 
 from pychain_tpu import ChainGraph, ChainGraphBatch
 from pychain_tpu.graphs import FST
-from pychain_tpu.graphs.builder import (EOS, ChainTopology,
+from pychain_tpu.graphs.builder import (EOS, ChainTopology, PhoneLM,
                                         alignment_to_pdf_sequence,
                                         estimate_phone_lm,
                                         make_denominator_fst,
@@ -405,6 +405,21 @@ def test_constrained_wide_tolerance_warns_and_computes():
     gath = chain_function(x, lengths, batch, impl="gather")
     np.testing.assert_allclose(float(auto), float(gath), rtol=1e-4)
     assert np.isfinite(float(auto))
+
+
+def test_phone_lm_save_load(tmp_path):
+    ts = _random_transcripts(n=20, num_phones=5, seed=12)
+    lm = estimate_phone_lm(ts, order=3, max_states=30)
+    path = str(tmp_path / "lm.npz")
+    lm.save(path)
+    back = PhoneLM.load(path)
+    assert back.order == lm.order
+    assert back.histories == lm.histories
+    assert back.start == lm.start
+    np.testing.assert_allclose(back.probs, lm.probs)
+    np.testing.assert_allclose(back.final, lm.final)
+    np.testing.assert_array_equal(back.next_state, lm.next_state)
+    np.testing.assert_allclose(back.score(ts[0]), lm.score(ts[0]))
 
 
 def test_lexicon_and_transcripts(tmp_path):
