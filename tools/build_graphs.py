@@ -65,6 +65,7 @@ def main():
     lm = estimate_phone_lm(list(transcripts.values()),
                            num_phones=num_phones, order=args.order,
                            max_states=args.max_lm_states)
+    lm.save(os.path.join(d, "phone_lm.npz"))  # for PhoneLM.load / decoding
     den = make_denominator_fst(lm, topo, prune_prob=args.prune_prob)
     den.write(os.path.join(d, "den.fst"))
     print(f"den.fst: S={den.num_states} K={den.num_arcs} "
