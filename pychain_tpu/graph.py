@@ -269,20 +269,36 @@ class ChainGraphBatch:
                 leaky[i, :s] = g.leaky_probs
             start[i] = g.start_state
 
-        self._fwd_src = jnp.asarray(fwd_t[..., 0])
-        self._fwd_dst = jnp.asarray(fwd_t[..., 1])
-        self._fwd_pdf = jnp.asarray(fwd_t[..., 2])
-        self._fwd_prob = jnp.asarray(fwd_p)
-        self._bwd_src = jnp.asarray(bwd_t[..., 0])
-        self._bwd_dst = jnp.asarray(bwd_t[..., 1])
-        self._bwd_pdf = jnp.asarray(bwd_t[..., 2])
-        self._bwd_prob = jnp.asarray(bwd_p)
-        self._initial = jnp.asarray(initial)
-        self._final = jnp.asarray(final)
-        self._leaky = None if leaky is None else jnp.asarray(leaky)
-        self._fwd_indices = jnp.asarray(fwd_i)
-        self._bwd_indices = jnp.asarray(bwd_i)
-        self._start = jnp.asarray(start)
+        # ONE batched device_put for all fields: list batches are
+        # rebuilt every minibatch, and 14 separate transfers measurably
+        # dominated the warm construction cost (see test_perf_host.py)
+        host = dict(
+            fwd_src=np.ascontiguousarray(fwd_t[..., 0]),
+            fwd_dst=np.ascontiguousarray(fwd_t[..., 1]),
+            fwd_pdf=np.ascontiguousarray(fwd_t[..., 2]),
+            fwd_prob=fwd_p,
+            bwd_src=np.ascontiguousarray(bwd_t[..., 0]),
+            bwd_dst=np.ascontiguousarray(bwd_t[..., 1]),
+            bwd_pdf=np.ascontiguousarray(bwd_t[..., 2]),
+            bwd_prob=bwd_p, initial=initial, final=final,
+            fwd_indices=fwd_i, bwd_indices=bwd_i, start=start)
+        if leaky is not None:
+            host["leaky"] = leaky
+        dev = jax.device_put(host)
+        self._fwd_src = dev["fwd_src"]
+        self._fwd_dst = dev["fwd_dst"]
+        self._fwd_pdf = dev["fwd_pdf"]
+        self._fwd_prob = dev["fwd_prob"]
+        self._bwd_src = dev["bwd_src"]
+        self._bwd_dst = dev["bwd_dst"]
+        self._bwd_pdf = dev["bwd_pdf"]
+        self._bwd_prob = dev["bwd_prob"]
+        self._initial = dev["initial"]
+        self._final = dev["final"]
+        self._leaky = dev.get("leaky")
+        self._fwd_indices = dev["fwd_indices"]
+        self._bwd_indices = dev["bwd_indices"]
+        self._start = dev["start"]
 
     # -- API-compat views (always batched, like the reference) -----------
     def _bcast(self, v):

@@ -75,6 +75,25 @@ def level_structure(g):
 
 
 def is_leveled_graph(g, max_width: int = 16) -> bool:
+    """Cached per (graph, max_width): ChainGraphs are immutable after
+    construction and re-batched every minibatch, and the levelization
+    sweep is O(S*K)."""
+    cache = getattr(g, "_is_leveled_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            g._is_leveled_cache = cache
+        except AttributeError:
+            cache = None
+    if cache is not None and max_width in cache:
+        return cache[max_width]
+    result = _is_leveled_graph(g, max_width)
+    if cache is not None:
+        cache[max_width] = result
+    return result
+
+
+def _is_leveled_graph(g, max_width: int) -> bool:
     if not g.log_domain:
         return False
     levels = level_structure(g)

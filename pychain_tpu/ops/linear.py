@@ -41,7 +41,20 @@ class LinearArrays:
 
 
 def is_linear_graph(g) -> bool:
-    """True if a log-domain ChainGraph is a single linear chain."""
+    """True if a log-domain ChainGraph is a single linear chain.
+    Cached on the graph: ChainGraphs are immutable after construction
+    and re-batched every minibatch."""
+    cached = getattr(g, "_is_linear_cache", None)
+    if cached is None:
+        cached = _is_linear_graph(g)
+        try:
+            g._is_linear_cache = cached
+        except AttributeError:
+            pass
+    return cached
+
+
+def _is_linear_graph(g) -> bool:
     if not g.log_domain:
         return False
     S, K = g.num_states, g.num_transitions
