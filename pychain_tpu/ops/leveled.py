@@ -110,55 +110,83 @@ def _is_leveled_graph(g, max_width: int) -> bool:
     return not bool(finals_at.any())
 
 
+def _cumcount(ids):
+    """Position of each element within its run of equal ids (ids must
+    be grouped, i.e. sorted)."""
+    n = ids.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    new = np.ones(n, bool)
+    new[1:] = ids[1:] != ids[:-1]
+    idx = np.arange(n)
+    return idx - np.maximum.accumulate(np.where(new, idx, 0))
+
+
+def _graph_leveled_meta(g):
+    """Per-graph banded compilation (vectorized), cached on the graph —
+    list batches are rebuilt every minibatch and the per-arc Python
+    loop dominated stage-2 (constrained supervision) step time."""
+    meta = getattr(g, "_leveled_meta", None)
+    if meta is not None:
+        return meta
+    levels = level_structure(g)
+    assert levels is not None
+    Tg = int(levels.max())
+    S = g.num_states
+    # stable slot assignment in state order (position within level)
+    order = np.argsort(levels, kind="stable")
+    slots = np.empty(S, np.int64)
+    slots[order] = _cumcount(levels[order])
+    t = g.forward_transitions
+    d = t[:, 1].astype(np.int64)
+    # in-arc index per destination, preserving arc order within a dst
+    aorder = np.argsort(d, kind="stable")
+    a_idx = np.empty(d.shape[0], np.int64)
+    a_idx[aorder] = _cumcount(d[aorder])
+    fmask = (levels == Tg) & np.isfinite(g.final_probs)
+    meta = dict(
+        Tg=Tg,
+        Wg=int(np.bincount(levels).max()),
+        Ag=int(np.bincount(d, minlength=S).max()) if d.size else 1,
+        lv=(levels[d] - 1).astype(np.int64),   # arc consumed at frame lv
+        j=slots[d],
+        a=a_idx,
+        src_slot=slots[t[:, 0].astype(np.int64)],
+        logp=np.asarray(g.forward_transition_probs, np.float32),
+        pdf=t[:, 2].astype(np.int32),
+        final_slots=slots[np.nonzero(fmask)[0]],
+        final_vals=np.asarray(g.final_probs, np.float32)[fmask])
+    try:
+        g._leveled_meta = meta
+    except AttributeError:
+        pass
+    return meta
+
+
 def leveled_arrays(graphs, dtype=jnp.float32) -> LeveledArrays:
     """Compile a batch of time-synchronous graphs to banded tensors."""
     B = len(graphs)
-    metas = []
-    W = A = Tg_max = 1
-    for g in graphs:
-        levels = level_structure(g)
-        assert levels is not None
-        Tg = int(levels.max())
-        slots = np.zeros(g.num_states, np.int64)
-        widths = np.zeros(Tg + 1, np.int64)
-        # stable slot assignment in state order
-        for s in np.argsort(levels, kind="stable"):
-            slots[s] = widths[levels[s]]
-            widths[levels[s]] += 1
-        t = g.forward_transitions
-        in_count = np.zeros(g.num_states, np.int64)
-        for d in t[:, 1]:
-            in_count[d] += 1
-        W = max(W, int(widths.max()))
-        A = max(A, int(in_count.max()))
-        Tg_max = max(Tg_max, Tg)
-        metas.append((levels, slots, Tg))
+    metas = [_graph_leveled_meta(g) for g in graphs]
+    W = max(1, max(m["Wg"] for m in metas))
+    A = max(1, max(m["Ag"] for m in metas))
+    Tg_max = max(1, max(m["Tg"] for m in metas))
 
     onehot = np.zeros((B, Tg_max, W, A, W), np.float32)
     logp = np.full((B, Tg_max, W, A), NEG_INF, np.float32)
     pdf = np.zeros((B, Tg_max, W, A), np.int32)
     final = np.full((B, W), NEG_INF, np.float32)
     glen = np.zeros(B, np.int32)
-    for i, (g, (levels, slots, Tg)) in enumerate(zip(graphs, metas)):
-        glen[i] = Tg
-        t = g.forward_transitions
-        fill = {}
-        for k in range(t.shape[0]):
-            s, d, n = int(t[k, 0]), int(t[k, 1]), int(t[k, 2])
-            lv = int(levels[d]) - 1          # arc consumed at frame lv
-            j = int(slots[d])
-            a = fill.get((lv, j), 0)
-            fill[(lv, j)] = a + 1
-            onehot[i, lv, j, a, int(slots[s])] = 1.0
-            logp[i, lv, j, a] = g.forward_transition_probs[k]
-            pdf[i, lv, j, a] = n
-        for s in range(g.num_states):
-            if levels[s] == Tg and np.isfinite(g.final_probs[s]):
-                final[i, int(slots[s])] = g.final_probs[s]
+    for i, m in enumerate(metas):
+        glen[i] = m["Tg"]
+        onehot[i, m["lv"], m["j"], m["a"], m["src_slot"]] = 1.0
+        logp[i, m["lv"], m["j"], m["a"]] = m["logp"]
+        pdf[i, m["lv"], m["j"], m["a"]] = m["pdf"]
+        final[i, m["final_slots"]] = m["final_vals"]
+    host = jax.device_put(dict(onehot=onehot.astype(dtype), logp=logp,
+                               pdf=pdf, final=final, glen=glen))
     return LeveledArrays(
-        src_onehot=jnp.asarray(onehot, dtype),
-        logp=jnp.asarray(logp), pdf=jnp.asarray(pdf),
-        final=jnp.asarray(final), graph_len=jnp.asarray(glen))
+        src_onehot=host["onehot"], logp=host["logp"], pdf=host["pdf"],
+        final=host["final"], graph_len=host["glen"])
 
 
 def _lse(v, axis):
