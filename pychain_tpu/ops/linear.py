@@ -85,10 +85,10 @@ def linear_arrays(graphs, max_k: int) -> LinearArrays:
         logp[i, :k] = g.forward_transition_probs
         final[i] = g.final_probs[-1]
         glen[i] = k
-    return LinearArrays(pdf_seq=jnp.asarray(pdf),
-                        logp_seq=jnp.asarray(logp),
-                        final=jnp.asarray(final),
-                        graph_len=jnp.asarray(glen))
+    dev = jax.device_put(dict(pdf=pdf, logp=logp, final=final,
+                              glen=glen))
+    return LinearArrays(pdf_seq=dev["pdf"], logp_seq=dev["logp"],
+                        final=dev["final"], graph_len=dev["glen"])
 
 
 def forward_backward_linear(x, lengths, g: LinearArrays) -> FwdBwdResult:

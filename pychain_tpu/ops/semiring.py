@@ -85,10 +85,11 @@ def semiring_arrays(graphs, max_k: int, max_s: int) -> SemiringArrays:
         logp[i, :k] = g.forward_transition_probs
         initial[i, :s] = g.initial_probs
         final[i, :s] = g.final_probs
+    dev = jax.device_put(dict(src_oh=src_oh, dst_oh=dst_oh, pdf=pdf,
+                              logp=logp, initial=initial, final=final))
     return SemiringArrays(
-        src_oh=jnp.asarray(src_oh), dst_oh=jnp.asarray(dst_oh),
-        pdf=jnp.asarray(pdf), logp=jnp.asarray(logp),
-        initial=jnp.asarray(initial), final=jnp.asarray(final))
+        src_oh=dev["src_oh"], dst_oh=dev["dst_oh"], pdf=dev["pdf"],
+        logp=dev["logp"], initial=dev["initial"], final=dev["final"])
 
 
 _PREC = jax.lax.Precision.HIGHEST  # parity engine: f32 means f32
