@@ -1,6 +1,7 @@
 from .bucketing import BucketSpec, LengthBucketer, pad_to_bucket
-from .features import (FbankConfig, add_deltas, cmvn, fbank, fbank_batch,
-                       mel_banks, mfcc, num_frames, read_wav, write_wav)
+from .features import (FbankConfig, add_deltas, add_deltas_batch,
+                       cmvn, cmvn_batch, fbank, fbank_batch, mel_banks,
+                       mfcc, num_frames, read_wav, write_wav)
 from .prefetch import Prefetcher, prefetch
 from .kaldi_features import (
     load_scp_entry,
@@ -25,7 +26,9 @@ __all__ = [
     "prefetch",
     "FbankConfig",
     "add_deltas",
+    "add_deltas_batch",
     "cmvn",
+    "cmvn_batch",
     "mfcc",
     "fbank",
     "fbank_batch",

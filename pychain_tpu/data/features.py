@@ -220,6 +220,55 @@ def add_deltas(feats, window: int = 2, order: int = 2):
     return np.concatenate(outs, axis=1)
 
 
+def cmvn_batch(feats, lengths=None, norm_vars: bool = False):
+    """Batched, jittable per-utterance CMVN.  feats (B, T, D); with
+    ``lengths`` (B,), stats are computed over real frames only and
+    padding stays untouched at zero mean contribution."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(feats, jnp.float32)
+    B, T, D = x.shape
+    if lengths is None:
+        n = jnp.full((B, 1, 1), T, jnp.float32)
+        mask = jnp.ones((B, T, 1), jnp.float32)
+    else:
+        lengths = jnp.asarray(lengths)
+        mask = (jnp.arange(T)[None, :] < lengths[:, None]
+                ).astype(jnp.float32)[:, :, None]
+        n = jnp.maximum(lengths, 1).astype(jnp.float32)[:, None, None]
+    mean = (x * mask).sum(axis=1, keepdims=True) / n
+    out = (x - mean) * mask
+    if norm_vars:
+        var = (jnp.square(x - mean) * mask).sum(axis=1,
+                                                keepdims=True) / n
+        out = out / jnp.maximum(jnp.sqrt(var), 1e-8)
+    return out
+
+
+def add_deltas_batch(feats, window: int = 2, order: int = 2):
+    """Batched, jittable delta features: (B, T, D) ->
+    (B, T, D*(order+1)), same regression + edge replication as
+    :func:`add_deltas` (parity-tested)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(feats, jnp.float32)
+    B, T, D = x.shape
+    denom = 2.0 * sum(i * i for i in range(1, window + 1))
+    outs = [x]
+    cur = x
+    for _ in range(order):
+        pad = jnp.concatenate(
+            [jnp.repeat(cur[:, :1], window, axis=1), cur,
+             jnp.repeat(cur[:, -1:], window, axis=1)], axis=1)
+        d = jnp.zeros_like(cur)
+        for i in range(1, window + 1):
+            d = d + i * (pad[:, window + i:window + i + T]
+                         - pad[:, window - i:window - i + T])
+        cur = d / denom
+        outs.append(cur)
+    return jnp.concatenate(outs, axis=2)
+
+
 # ----------------------------------------------------------------------
 # Minimal WAV I/O (PCM16 / float32 mono), no external deps
 # ----------------------------------------------------------------------

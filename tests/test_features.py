@@ -152,3 +152,23 @@ def test_config_validation():
         fbank(np.zeros((2, 100)), CFG)
     with pytest.raises(ValueError):
         fbank(np.zeros(1000), FbankConfig(window="blackman"))
+
+
+def test_batched_cmvn_and_deltas_match_numpy():
+    import jax
+    rng = np.random.RandomState(8)
+    from pychain_tpu.data import add_deltas_batch, cmvn_batch
+    B, T, D = 3, 20, 5
+    x = rng.randn(B, T, D).astype(np.float32) * 2 + 1
+    lengths = np.array([20, 14, 9], np.int32)
+    out = np.asarray(jax.jit(lambda f: cmvn_batch(f, lengths,
+                                                  norm_vars=True))(x))
+    for b, n in enumerate(lengths):
+        np.testing.assert_allclose(out[b, :n], cmvn(x[b, :n],
+                                                    norm_vars=True),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(out[b, n:], 0.0, atol=1e-6)
+    dj = np.asarray(jax.jit(add_deltas_batch)(x))
+    for b in range(B):
+        np.testing.assert_allclose(dj[b], add_deltas(x[b]), rtol=1e-5,
+                                   atol=1e-6)
