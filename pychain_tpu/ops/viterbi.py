@@ -73,15 +73,26 @@ def viterbi_align(x, x_lengths, graphs) -> ViterbiResult:
             v, s, num_segments=S, indices_are_sorted=False)
         return jax.vmap(f)(values, seg)
 
-    xt = jnp.swapaxes(x, 0, 1)                   # (T, B, P)
+    # hoist emissions out of the scan: em[b,t,a] = x[b,t,pdf[b,a]] as
+    # one one-hot MXU contraction (per-row TPU gathers cost ~8
+    # cycles/element regardless of size — the same trade every other
+    # engine makes); fall back to one big gather beyond the budget
+    if B * K * P <= (1 << 26):
+        onehot_p = jax.nn.one_hot(pdf, P, dtype=x.dtype)   # (B, K, P)
+        em = jnp.einsum("btp,bkp->btk", x, onehot_p,
+                        precision=jax.lax.Precision.HIGHEST)
+    else:
+        em = jnp.take_along_axis(x, pdf[:, None, :].repeat(T, axis=1),
+                                 axis=2)
+    em_t = jnp.swapaxes(em, 0, 1)                # (T, B, K)
     ts_fwd = jnp.arange(T, dtype=jnp.int32)
 
     def step(carry, inputs):
         delta, delta_end = carry
-        t, x_t = inputs
+        t, em_frame = inputs
         # cand[b, a] = delta[b, src[a]] + arc logp + emission at frame t
         cand = (jnp.take_along_axis(delta, src, axis=1) + prob
-                + jnp.take_along_axis(x_t, pdf, axis=1))
+                + em_frame)
         new_delta = seg_max(cand, dst)           # (B, S)
         # backpointer: any arc achieving the max (exact float equality
         # of identically-computed values); padded arcs carry -inf cand
@@ -97,7 +108,7 @@ def viterbi_align(x, x_lengths, graphs) -> ViterbiResult:
 
     delta0 = initial.astype(x.dtype)
     (_, delta_end), bps = jax.lax.scan(step, (delta0, delta0),
-                                       (ts_fwd, xt))
+                                       (ts_fwd, em_t))
     end_score = delta_end + final
     best_end = jnp.argmax(end_score, axis=1).astype(jnp.int32)
     objf = jnp.take_along_axis(end_score, best_end[:, None], axis=1)[:, 0]
