@@ -45,7 +45,7 @@ def test_warm_batch_rebuild_is_cheap():
 
     build()  # warm caches
     best = min((lambda t0: (build(), time.time() - t0)[1])(time.time())
-               for _ in range(5))
-    # pre-fix this configuration measured ~8 ms; the bound is ~4x the
-    # post-fix time to stay robust to CI load
-    assert best < 0.012, f"warm rebuild took {best * 1e3:.1f} ms"
+               for _ in range(8))
+    # post-fix ~2-3 ms here; pre-fix ~8 ms.  best-of-8 with a bound in
+    # between keeps the regression detectable yet CI-load tolerant
+    assert best < 0.0065, f"warm rebuild took {best * 1e3:.1f} ms"
