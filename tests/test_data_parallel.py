@@ -201,3 +201,38 @@ def test_sharded_xent_argument_contract():
                            xent_regularize=0.1)
     with pytest.raises(ValueError, match="xent_out"):
         reg(x, lengths, num_b)
+
+
+def test_sharded_loss_constrained_numerators():
+    """Tolerance-constrained supervision (leveled engine, batch-leading
+    pytree) shards over dp and matches the single-device loss."""
+    from pychain_tpu.graphs.builder import (ChainTopology,
+                                            make_constrained_numerator)
+    rng = np.random.RandomState(11)
+    den_fst, P_den = denominator_fst(num_phones=8, states_per_phone=2,
+                                     seed=11)
+    den = ChainGraph(den_fst)
+    topo = ChainTopology(num_phones=P_den // 2)
+    B = 8
+    graphs, lengths = [], []
+    for _ in range(B):
+        phones = [int(p) for p in rng.randint(0, topo.num_phones, size=3)]
+        durs = [int(d) for d in rng.randint(2, 5, size=3)]
+        graphs.append(ChainGraph(
+            make_constrained_numerator(phones, durs, topo, tolerance=1),
+            log_domain=True))
+        lengths.append(sum(durs))
+    lengths = jnp.asarray(np.array(lengths, np.int32))
+    T = int(lengths.max())
+    mk = max(g.num_transitions for g in graphs)
+    ms = max(g.num_states for g in graphs)
+    num_b = ChainGraphBatch(graphs, max_num_transitions=mk,
+                            max_num_states=ms)
+    assert num_b._leveled is not None
+    x = jnp.asarray(rng.randn(B, T, P_den).astype(np.float32))
+
+    mesh = make_mesh(n_mp=1)
+    sharded = ShardedChainLoss(mesh, den, impl="factorized")
+    ref = float(ChainLoss(den)(x, lengths, num_b))
+    got = float(sharded(x, lengths, num_b))
+    assert abs(got - ref) < 1e-4 * max(1.0, abs(ref)), (got, ref)
