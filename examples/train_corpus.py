@@ -50,7 +50,7 @@ from pychain_tpu.graphs import (ChainTopology, alignment_to_pdf_sequence,
                                 estimate_phone_lm, make_constrained_numerator,
                                 make_denominator_fst, make_numerator_fst,
                                 write_ark)
-from pychain_tpu.loss import chain_loss, dispatch_arrays
+from pychain_tpu.loss import chain_loss, chain_loss_xent, dispatch_arrays
 from pychain_tpu.models import BLSTM, BLSTMConfig, TDNN, TDNNConfig
 from pychain_tpu.utils.checkpoint import (latest_step, restore_checkpoint,
                                           save_checkpoint)
@@ -245,6 +245,8 @@ def main():
     ap.add_argument("--bucket-step", type=int, default=25)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--leaky", type=float, default=1e-5)
+    ap.add_argument("--xent-regularize", type=float, default=0.0)
+    ap.add_argument("--l2-regularize", type=float, default=0.0)
     ap.add_argument("--ckpt", type=str, default="")
     ap.add_argument("--dp", action="store_true")
     ap.add_argument("--tile-dtype", type=str, default="",
@@ -314,6 +316,15 @@ def main():
     def train_step(params, opt_state, x, lens, num_g, den_g):
         def loss_fn(p):
             out = apply_model(p, x, lens)
+            if args.xent_regularize > 0.0 or args.l2_regularize > 0.0:
+                # single-head variant of the Kaldi recipe regularizers
+                # (a dedicated xent head would be a second output layer)
+                loss, _ = chain_loss_xent(
+                    out, out, lens, num_g, den_g,
+                    leaky_coefficient=args.leaky,
+                    xent_regularize=args.xent_regularize,
+                    l2_regularize=args.l2_regularize)
+                return loss
             return chain_loss(out, lens, num_g, den_g,
                               leaky_coefficient=args.leaky)
         loss, grads = jax.value_and_grad(loss_fn)(params)
