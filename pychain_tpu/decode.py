@@ -23,6 +23,9 @@ from .graph import ChainGraph, ChainGraphBatch
 from .graphs.builder import ChainTopology, PhoneLM, make_denominator_fst
 from .ops.viterbi import viterbi_align
 
+__all__ = ["DecodeResult", "PhoneDecoder", "edit_distance",
+           "phone_error_rate"]
+
 
 class DecodeResult(NamedTuple):
     phones: list      # per utterance: list[int] decoded phone sequence
