@@ -156,3 +156,44 @@ def test_parity_random_graph_batch_log_domain():
     objf, gamma, _ = _ours(batch, x, lengths)
     assert abs(objf - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
     np.testing.assert_allclose(gamma, ref_grad, rtol=2e-3, atol=2e-5)
+
+
+def test_parity_builder_denominator_and_flat_numerators():
+    """LM-estimated denominator + flat-start numerators from
+    graphs/builder.py, fed byte-identically to the REFERENCE engine:
+    pins the realistic built-graph structures (initial state without
+    self-loop, repeated-phone loops, stochastic rows) against the
+    actual reference implementation."""
+    from pychain_tpu.graphs.builder import (ChainTopology,
+                                            estimate_phone_lm,
+                                            make_denominator_fst,
+                                            make_numerator_fst)
+    rng = np.random.RandomState(7)
+    num_phones = 10
+    transcripts = [[int(p) for p in
+                    rng.randint(0, num_phones, size=rng.randint(5, 12))]
+                   for _ in range(40)]
+    topo = ChainTopology(num_phones=num_phones)
+    lm = estimate_phone_lm(transcripts, num_phones=num_phones, order=2)
+
+    den = ChainGraph(make_denominator_fst(lm, topo), log_domain=False)
+    B, T, P = 4, 24, topo.num_pdfs
+    lengths = np.array([24, 20, 16, 9], np.int32)
+    x = rng.randn(B, T, P).astype(np.float32)
+    batch = ChainGraphBatch(den, B)
+    ref_objf, ref_grad, ref_ok = _ref_forward_backward(batch, x, lengths)
+    objf, gamma, ok = _ours(batch, x, lengths)
+    assert ref_ok and np.all(ok)
+    assert abs(objf - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
+    np.testing.assert_allclose(gamma, ref_grad, rtol=2e-3, atol=2e-5)
+
+    nums = [ChainGraph(make_numerator_fst(transcripts[i], topo, lm=lm),
+                       log_domain=True) for i in range(B)]
+    nbatch = ChainGraphBatch(
+        nums, max_num_transitions=max(g.num_transitions for g in nums),
+        max_num_states=max(g.num_states for g in nums))
+    ref_objf, ref_grad, ref_ok = _ref_forward_backward(nbatch, x, lengths)
+    objf, gamma, ok = _ours(nbatch, x, lengths)
+    assert ref_ok and np.all(ok)
+    assert abs(objf - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
+    np.testing.assert_allclose(gamma, ref_grad, rtol=2e-3, atol=2e-5)
