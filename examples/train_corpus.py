@@ -378,11 +378,22 @@ def main():
     def flat_graph_phones(g):
         """Recover the phone sequence from a flat-start numerator graph
         (state i+1 <=> phone position i; entry arcs carry the forward
-        pdf 2*phone of the non-shared chain topology)."""
+        pdf 2*phone of the non-shared chain topology).  Raises on any
+        other numerator shape — realignment from a linear/random graph
+        would silently build constrained supervision from garbage."""
         tr = np.asarray(g.forward_transitions)
         n = g.num_states - 1
-        phones_arr = np.zeros(n, np.int64)
+        # a flat-start graph has exactly n forward arcs and a self-loop
+        # on every phone state
+        loops = tr[tr[:, 0] == tr[:, 1]]
         fwd = tr[tr[:, 0] + 1 == tr[:, 1]]
+        if (g.num_transitions != 2 * n or loops.shape[0] != n
+                or fwd.shape[0] != n or (fwd[:, 2] % 2 != 0).any()):
+            raise ValueError(
+                "--realign-at requires flat-start numerators "
+                "(--num-style flat); this corpus has a different "
+                "supervision shape")
+        phones_arr = np.zeros(n, np.int64)
         phones_arr[fwd[:, 1] - 1] = fwd[:, 2] // 2
         return [int(p) for p in phones_arr]
 
@@ -424,17 +435,17 @@ def main():
     realigned = False
     while step < args.steps:
         epoch += 1
+        want_realign = False
         with prefetch(assemble_batches(epoch), depth=2) as batches:
             for x_j, lens_j, num_g, den_g, lens in batches:
                 if step >= args.steps:
                     break
                 if (args.realign_at and not realigned
                         and step >= args.realign_at):
-                    print(f"realigning {len(keys)} utterances at step "
-                          f"{step} (tolerance {args.tolerance})")
-                    realign(params)
-                    realigned = True
-                    break  # discard prefetched flat-start batches
+                    # stop consuming; realign AFTER the producer thread
+                    # is closed — it reads nums/max_arcs concurrently
+                    want_realign = True
+                    break
                 loss, params, opt_state = train_step(
                     params, opt_state, x_j, lens_j, num_g, den_g)
                 step += 1
@@ -454,6 +465,11 @@ def main():
                           f" steps/s)")
                 if args.ckpt and step % 100 == 0:
                     save_checkpoint(args.ckpt, step, (params, opt_state))
+        if want_realign:
+            print(f"realigning {len(keys)} utterances at step {step} "
+                  f"(tolerance {args.tolerance})")
+            realign(params)
+            realigned = True
     if args.ckpt:
         save_checkpoint(args.ckpt, step, (params, opt_state))
     print(f"done: {step - step0} steps in {time.time() - t_start:.1f}s; "

@@ -184,7 +184,9 @@ def _dct_matrix(n: int, k: int) -> np.ndarray:
 
 def cmvn(feats, length=None, norm_vars: bool = False):
     """Per-utterance cepstral mean (and optional variance)
-    normalization over the real frames.  feats (T, D) numpy."""
+    normalization over the real frames.  feats (T, D) numpy.
+    Frames beyond ``length`` are zeroed — matching
+    :func:`cmvn_batch`'s masked output exactly."""
     x = np.asarray(feats, np.float32)
     n = x.shape[0] if length is None else int(length)
     if n < 1:
@@ -194,6 +196,7 @@ def cmvn(feats, length=None, norm_vars: bool = False):
     if norm_vars:
         std = x[:n].std(axis=0)
         out = out / np.maximum(std, 1e-8)
+    out[n:] = 0.0
     return out
 
 

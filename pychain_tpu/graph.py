@@ -370,6 +370,12 @@ class ChainGraphBatch:
                 setattr(self, name,
                         jax.tree.map(lambda a: jnp.take(a, idx, axis=0),
                                      v))
+        # ... and so is the source-graph list that _force_engine
+        # compiles lazily from (a stale order here reproduces the same
+        # wrong-pairing bug for forced impl="leveled"/"semiring")
+        gl = getattr(self, "_graphs", None)
+        if gl is not None:
+            self._graphs = [gl[int(i)] for i in np.asarray(new_order)]
 
     # -- pytree protocol --------------------------------------------------
     _leaves = ("_fwd_src", "_fwd_dst", "_fwd_pdf", "_fwd_prob",

@@ -123,11 +123,16 @@ class PhoneLM:
 
     def save(self, path: str) -> None:
         """Persist to an .npz (histories flattened with -3 separators —
-        phone ids are >= 0 and BOS/EOS are -1/-2, so -3 is free)."""
+        phone ids are >= 0 and BOS/EOS are -1/-2, so -3 is free).
+        The .npz suffix is normalized on BOTH save and load so
+        ``save(p)``/``load(p)`` round-trips for any p (np.savez
+        auto-appends it, np.load does not)."""
         flat = []
         for h in self.histories:
             flat.extend(h)
             flat.append(-3)
+        if not path.endswith(".npz"):
+            path += ".npz"
         np.savez(path, order=self.order, num_phones=self.num_phones,
                  histories=np.asarray(flat, np.int64),
                  probs=self.probs, final=self.final,
@@ -135,6 +140,9 @@ class PhoneLM:
 
     @staticmethod
     def load(path: str) -> "PhoneLM":
+        import os
+        if not path.endswith(".npz") and not os.path.exists(path):
+            path += ".npz"
         z = np.load(path)
         histories, cur = [], []
         for v in z["histories"]:

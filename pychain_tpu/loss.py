@@ -417,9 +417,12 @@ def chain_loss_xent(x, xent_out, x_lengths, num_graphs, den_graph_batch,
     gamma = jax.lax.stop_gradient(aux.gamma)
     logp = jax.nn.log_softmax(xent_out, axis=-1)
     xent = -jnp.sum(gamma * logp)
-    T = x.shape[1]
-    frame_mask = (jnp.arange(T)[None, :] < lengths[:, None])
-    l2 = 0.5 * jnp.sum(jnp.square(x) * frame_mask[:, :, None])
+    if l2_regularize > 0.0:
+        T = x.shape[1]
+        frame_mask = (jnp.arange(T)[None, :] < lengths[:, None])
+        l2 = 0.5 * jnp.sum(jnp.square(x) * frame_mask[:, :, None])
+    else:
+        l2 = jnp.zeros((), x.dtype)  # skip the (B,T,P) reduction
     if avg:
         denom = lengths.sum()
         mmi = mmi / denom

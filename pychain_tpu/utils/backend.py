@@ -11,7 +11,6 @@ cleanly.
 
 from __future__ import annotations
 
-import functools
 import os
 import subprocess
 import sys
@@ -23,13 +22,25 @@ def tunnel_env_set() -> bool:
     return bool(os.environ.get(TUNNEL_ENV_VAR))
 
 
-@functools.lru_cache(maxsize=None)
+_PROBE_VERDICT: list = []  # one verdict per process, whatever the timeout
+
+
 def tpu_tunnel_alive(timeout: int = 240) -> bool:
     """True iff a non-CPU jax backend initializes within ``timeout``
     seconds in a clean subprocess (no CPU-forcing env).  False when the
     tunnel env var is unset, when initialization fails, or when it is
-    still blocked at the deadline.  Cached per (timeout) per process.
+    still blocked at the deadline.  Cached ONCE per process regardless
+    of ``timeout`` — different call sites (240s vs 300s) must not each
+    pay their own multi-minute probe against a dead tunnel.
     """
+    if _PROBE_VERDICT:
+        return _PROBE_VERDICT[0]
+    verdict = _probe(timeout)
+    _PROBE_VERDICT.append(verdict)
+    return verdict
+
+
+def _probe(timeout: int) -> bool:
     if not tunnel_env_set():
         return False
     env = {k: v for k, v in os.environ.items()

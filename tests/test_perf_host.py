@@ -34,6 +34,9 @@ def test_engine_classification_is_cached():
 
 
 def test_warm_batch_rebuild_is_cheap():
+    """RELATIVE bound (no absolute wall-clock dependence): a warm
+    rebuild must clearly beat a cache-stripped rebuild, which is what
+    regressing the classification cache would reintroduce."""
     rng = np.random.RandomState(0)
     B, T = 64, 200
     graphs = [ChainGraph(linear_fst(rng.randint(0, 50, size=T)),
@@ -43,9 +46,25 @@ def test_warm_batch_rebuild_is_cheap():
         return ChainGraphBatch(graphs, max_num_transitions=T,
                                max_num_states=T + 1)
 
-    build()  # warm caches
-    best = min((lambda t0: (build(), time.time() - t0)[1])(time.time())
+    def strip_caches():
+        for g in graphs:
+            for attr in ("_is_linear_cache", "_is_leveled_cache",
+                         "_leveled_meta"):
+                if hasattr(g, attr):
+                    delattr(g, attr)
+
+    build()  # warm jit/dispatch paths
+    warm = min((lambda t0: (build(), time.time() - t0)[1])(time.time())
                for _ in range(8))
-    # post-fix ~2-3 ms here; pre-fix ~8 ms.  best-of-8 with a bound in
-    # between keeps the regression detectable yet CI-load tolerant
-    assert best < 0.0065, f"warm rebuild took {best * 1e3:.1f} ms"
+
+    def cold_once():
+        strip_caches()
+        t0 = time.time()
+        build()
+        return time.time() - t0
+
+    cold = min(cold_once() for _ in range(8))
+    build()  # re-warm for later tests
+    assert warm < 0.8 * cold, (
+        f"warm rebuild {warm * 1e3:.1f} ms not clearly faster than "
+        f"cache-stripped {cold * 1e3:.1f} ms")

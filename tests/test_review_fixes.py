@@ -45,6 +45,25 @@ def test_reorder_updates_fast_path_engines():
     np.testing.assert_allclose(float(got), float(gat), rtol=1e-5)
 
 
+def test_reorder_then_forced_engine():
+    """reorder() must also permute the lazy-compile source list, or a
+    forced impl='leveled'/'semiring' builds in pre-reorder order."""
+    rng = np.random.RandomState(5)
+    P, T = 5, 6
+    seqs = [rng.randint(0, P, size=T) for _ in range(3)]
+    x = jnp.asarray(rng.randn(3, T, P).astype(np.float32))
+    lengths = np.full(3, T, np.int32)
+    order = [2, 0, 1]
+    batch = _linear_batch(seqs, P)
+    batch.reorder(order)
+    x_perm = x[np.asarray(order)]
+    gather = chain_function(x_perm, lengths, batch, impl="gather")
+    for impl in ("leveled", "semiring"):
+        forced = chain_function(x_perm, lengths, batch, impl=impl)
+        np.testing.assert_allclose(float(forced), float(gather),
+                                   rtol=1e-4, err_msg=impl)
+
+
 def test_lengths_beyond_frame_axis_rejected():
     rng = np.random.RandomState(1)
     P, T = 4, 5
