@@ -35,6 +35,8 @@ S8K = "--s8k" in sys.argv  # S~8000 scalability entry (beyond VMEM
                            # residency; exercises the XLA fallback)
 FULL = "--full" in sys.argv  # full ChainLoss (den + linear numerators)
                              # value+grad — the end-to-end training number
+SEMIRING = "--semiring" in sys.argv  # arbitrary cyclic numerator batch
+                                     # on the one-hot semiring engine
 if "--gather" in sys.argv:
     IMPLS = ["gather"]
 elif "--f32" in sys.argv:
@@ -122,8 +124,62 @@ def _reference_ups():
         return json.load(f).get("reference_cpu", {}).get("utts_per_sec")
 
 
+def _bench_semiring():
+    """Arbitrary cyclic numerator graphs (the class the reference's
+    log-domain CUDA kernels serve): B random ergodic graphs, value+grad
+    through impl='auto' (select-free Pallas kernels on TPU, XLA scan
+    elsewhere)."""
+    from pychain_tpu import ChainGraph, ChainGraphBatch
+    from pychain_tpu.utils.testgraphs import random_fst
+
+    B, T, S_g, P = (8, 50, 12, 8) if QUICK else (128, 500, 16, 96)
+    graphs = [ChainGraph(random_fst(num_states=S_g, num_pdfs=P,
+                                    max_arcs_per_state=3, seed=s),
+                         log_domain=True) for s in range(B)]
+    mk = max(g.num_transitions for g in graphs)
+    ms = max(g.num_states for g in graphs)
+    batch = ChainGraphBatch(graphs, max_num_transitions=mk,
+                            max_num_states=ms)
+    assert batch._semiring is not None
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, P), jnp.float32)
+    lengths = jnp.full((B,), T, jnp.int32)
+    g = dispatch_arrays(batch, "auto")
+    vg = jax.jit(jax.value_and_grad(chain_function))
+
+    t0 = time.time()
+    objf, grad = vg(x, lengths, g)
+    _ = float(objf) + float(grad[0, 0, 0])
+    print(f"# [semiring] compile+first-run {time.time()-t0:.1f}s "
+          f"objf={float(objf):.4f}", file=sys.stderr)
+
+    def timed(iters):
+        t0 = time.time()
+        for _ in range(iters):
+            o, gr = vg(x, lengths, g)
+        _ = float(o) + float(gr[0, 0, 0])
+        return (time.time() - t0) / iters
+
+    iters = 3 if QUICK else 30
+    timed(2)
+    best = min(timed(iters) for _ in range(2))
+    ups = B / best
+    print(f"# [semiring] amortized s/batch over {iters}: {best:.4f} "
+          f"({ups:.0f} utts/s)", file=sys.stderr)
+    ref = _reference_ups()
+    print(json.dumps({
+        "metric": f"arbitrary-cyclic numerator fwd-bwd utts/sec/chip "
+                  f"(B={B},T={T},S<={ms},K<={mk},P={P}; one-hot "
+                  f"semiring engine via auto)",
+        "value": round(ups, 2),
+        "unit": "utts/sec",
+        "vs_baseline": round(ups / ref, 2) if ref else None,
+    }))
+
+
 def main():
     _require_live_backend()
+    if SEMIRING:
+        return _bench_semiring()
     rng = np.random.RandomState(0)
     den_fst, P = denominator_fst(num_phones=NUM_PHONES, states_per_phone=2,
                                  seed=0, bigram_fanout=FANOUT)
