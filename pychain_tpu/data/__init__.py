@@ -1,4 +1,5 @@
 from .bucketing import BucketSpec, LengthBucketer, pad_to_bucket
+from .chunking import ChunkPlan, chunk_alignment, chunk_supervision
 from .features import (FbankConfig, add_deltas, add_deltas_batch,
                        cmvn, cmvn_batch, fbank, fbank_batch, mel_banks,
                        mfcc, num_frames, read_wav, write_wav)
@@ -14,6 +15,9 @@ from .kaldi_features import (
 
 __all__ = [
     "BucketSpec",
+    "ChunkPlan",
+    "chunk_alignment",
+    "chunk_supervision",
     "LengthBucketer",
     "pad_to_bucket",
     "read_feats_ark",

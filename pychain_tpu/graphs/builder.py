@@ -394,7 +394,8 @@ def make_numerator_fst(phones, topo: ChainTopology,
 
 
 def make_constrained_numerator(phones, durations, topo: ChainTopology,
-                               tolerance: int = 5) -> FST:
+                               tolerance: int = 5,
+                               first_is_continuation: bool = False) -> FST:
     """Tolerance-constrained supervision (the style of Kaldi's
     ``chain-get-supervision``): phone boundaries may move up to
     ``tolerance`` frames from the alignment, no further.
@@ -410,6 +411,11 @@ def make_constrained_numerator(phones, durations, topo: ChainTopology,
     would recover the flat-start graph of :func:`make_numerator_fst`
     (which is cyclic and cheaper to use directly).  Arc weights are 0
     (flat-start convention).
+
+    ``first_is_continuation``: the sequence starts INSIDE phones[0]
+    (a chunk boundary cut it), so the first frame emits its self-loop
+    pdf, not its forward pdf — the convention Kaldi's chunked chain
+    supervision uses for split utterances.
     """
     phones = [int(p) for p in phones]
     durations = [int(d) for d in durations]
@@ -474,7 +480,8 @@ def make_constrained_numerator(phones, durations, topo: ChainTopology,
 
     arcs = []
     if keep[1, 0]:
-        lbl = topo.fwd_pdf(phones[0]) + 1
+        lbl = (topo.self_pdf(phones[0]) if first_is_continuation
+               else topo.fwd_pdf(phones[0])) + 1
         arcs.append((0, int(ids[1, 0]), lbl, lbl, 0.0))
     for tau in range(1, T):
         for i in np.nonzero(keep[tau])[0]:
@@ -573,7 +580,8 @@ def durations_from_alignment(states, length=None):
     return [int(d) for d in durs]
 
 
-def alignment_to_pdf_sequence(phones, durations, topo: ChainTopology):
+def alignment_to_pdf_sequence(phones, durations, topo: ChainTopology,
+                              first_is_continuation: bool = False):
     """Aligned supervision: with per-phone frame counts, the numerator
     collapses to one pdf per frame — feed the result to ``FST.linear``
     and the closed-form linear engine handles it.
@@ -581,16 +589,21 @@ def alignment_to_pdf_sequence(phones, durations, topo: ChainTopology):
     Frame layout per phone (duration d >= 1): the entering frame emits
     ``fwd_pdf``, the remaining d-1 frames emit ``self_pdf`` — exactly
     the pdf sequence of the corresponding path through
-    :func:`make_numerator_fst`'s graph.
+    :func:`make_numerator_fst`'s graph.  With
+    ``first_is_continuation`` the sequence starts inside phones[0]
+    (chunk boundary), so its first frame emits the self-loop pdf.
     """
     phones = [int(p) for p in phones]
     durations = [int(d) for d in durations]
     if len(phones) != len(durations):
         raise ValueError("phones and durations must have equal length")
     seq = []
-    for p, d in zip(phones, durations):
+    for i, (p, d) in enumerate(zip(phones, durations)):
         if d < 1:
             raise ValueError("every phone needs at least one frame")
-        seq.append(topo.fwd_pdf(p))
+        if i == 0 and first_is_continuation:
+            seq.append(topo.self_pdf(p))
+        else:
+            seq.append(topo.fwd_pdf(p))
         seq.extend([topo.self_pdf(p)] * (d - 1))
     return seq
