@@ -271,6 +271,10 @@ def main():
                          "native two-stage e2e recipe)")
     ap.add_argument("--tolerance", type=int, default=3,
                     help="boundary tolerance for --realign-at graphs")
+    ap.add_argument("--chunk-frames", type=int, default=0,
+                    help="with --realign-at: split aligned utterances "
+                         "into fixed-width chunks (one static batch "
+                         "shape, O(chunk) memory)")
     args = ap.parse_args()
 
     data_dir = args.data_dir
@@ -400,11 +404,16 @@ def main():
     def realign(params):
         """Viterbi-align every utterance with the current model and
         swap the flat-start numerators for tolerance-constrained ones
-        (graphs/builder.py) — stage 2 of the native e2e recipe."""
-        nonlocal max_arcs, max_states
+        (graphs/builder.py) — stage 2 of the native e2e recipe.  With
+        --chunk-frames the aligned utterances are additionally split
+        into fixed-width chunks (Kaldi get-egs practice): ONE static
+        batch shape, O(chunk) memory."""
+        nonlocal max_arcs, max_states, max_t
         from pychain_tpu import viterbi_align
+        from pychain_tpu.data import chunk_alignment, chunk_supervision
         from pychain_tpu.graphs import durations_from_alignment
         topo = ChainTopology(num_phones=P // 2)
+        alignments = {}
         for c in range(0, len(keys), args.batch_size):
             idx = list(range(c, min(c + args.batch_size, len(keys))))
             t_pad = bucketer.padded_shape(lengths_all, idx)
@@ -422,10 +431,36 @@ def main():
                 durs = durations_from_alignment(
                     np.asarray(res.states[j]), int(lens[j]))
                 phones = flat_graph_phones(nums[i])
+                alignments[i] = (phones, durs)
                 nums[i] = ChainGraph(
                     make_constrained_numerator(phones, durs, topo,
                                                tolerance=args.tolerance),
                     log_domain=True)
+        if args.chunk_frames > 0:
+            new_keys, new_feats, new_nums = [], [], []
+            for i, key in enumerate(keys):
+                if i not in alignments:
+                    continue  # unaligned utterances are dropped here
+                phones, durs = alignments[i]
+                plans = chunk_alignment(
+                    phones, durs, args.chunk_frames,
+                    min_tail=max(1, args.chunk_frames // 2))
+                for cidx, plan in enumerate(plans):
+                    new_keys.append(f"{key}#c{cidx}")
+                    new_feats.append(
+                        feats[i][plan.start_frame:
+                                 plan.start_frame + plan.num_frames])
+                    new_nums.append(ChainGraph(
+                        chunk_supervision(plan, topo,
+                                          tolerance=args.tolerance),
+                        log_domain=True))
+            keys[:] = new_keys
+            feats[:] = new_feats
+            nums[:] = new_nums
+            lengths_all[:] = [f.shape[0] for f in feats]
+            max_t = max(lengths_all)
+            print(f"chunked into {len(keys)} pieces of <= "
+                  f"{args.chunk_frames} frames")
         max_states = max(g.num_states for g in nums) + 1
         max_arcs = max(g.num_transitions for g in nums) + 1
 
