@@ -37,16 +37,19 @@ FULL = "--full" in sys.argv  # full ChainLoss (den + linear numerators)
                              # value+grad — the end-to-end training number
 SEMIRING = "--semiring" in sys.argv  # arbitrary cyclic numerator batch
                                      # on the one-hot semiring engine
+TRAIN = "--train" in sys.argv  # REAL training step at headline scale:
+                               # TDNN fwd + ChainLoss + grad + adam
+                               # update, one jitted step
 if "--gather" in sys.argv:
     IMPLS = ["gather"]
 elif "--f32" in sys.argv:
     IMPLS = ["factorized"]
-elif S8K or FULL:
+elif S8K or FULL or TRAIN:
     IMPLS = ["pallas"]     # s8k: dispatch falls back to the XLA
                            # factorized engine (fits_vmem) — the point
 else:
     IMPLS = ["factorized", "pallas"]  # parity engine + fast engine
-TILE_DTYPE = ("bfloat16" if ("--bf16" in sys.argv or S8K or FULL)
+TILE_DTYPE = ("bfloat16" if ("--bf16" in sys.argv or S8K or FULL or TRAIN)
               else None)
 B, T = (16, 100) if QUICK else ((64, 300) if S8K else (128, 500))
 NUM_PHONES, FANOUT = ((100, 10) if QUICK
@@ -112,6 +115,78 @@ def _bench_full(rng, den, den_batch_bf16, x, lengths, B, T, S, K, P):
         "value": round(ups, 2),
         "unit": "utts/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+def _bench_train(rng, den, den_batch_bf16, lengths, B, T, S, K, P):
+    """One REAL jitted training step at headline scale: TDNN acoustic
+    model forward, full ChainLoss (bf16 Pallas denominator + linear
+    numerators), gradient w.r.t. the model parameters, and an adam
+    update — the per-step cost of the end-to-end recipe
+    (examples/train_corpus.py) minus host-side data assembly (which is
+    overlapped by data/prefetch.py and measured in test_perf_host)."""
+    import optax
+
+    from pychain_tpu import ChainGraph, ChainGraphBatch, ChainLoss
+    from pychain_tpu.models import TDNN, TDNNConfig
+    from pychain_tpu.utils.testgraphs import linear_fst
+
+    FEAT_DIM = 40
+    nums = [ChainGraph(linear_fst(rng.randint(0, P, size=T)),
+                       log_domain=True) for _ in range(B)]
+    num_batch = ChainGraphBatch(nums, max_num_transitions=T,
+                                max_num_states=T + 1)
+    loss_mod = ChainLoss(den, impl="pallas", tile_dtype="bfloat16")
+    loss_mod._den_batches[B] = den_batch_bf16   # reuse the built batch
+
+    cfg = TDNNConfig(num_pdfs=P, hidden_dim=512,
+                     kernel_sizes=(3, 3, 3, 3, 3),
+                     dilations=(1, 1, 3, 3, 3),
+                     strides=(1, 1, 1, 1, 1), dropout=0.0)
+    model = TDNN(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, T, FEAT_DIM),
+                              jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), feats, train=False)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, feats):
+        def loss_fn(p):
+            out = model.apply(p, feats, train=False)
+            return loss_mod(out, lengths, num_batch)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    t0 = time.time()
+    loss, params, opt_state = train_step(params, opt_state, feats)
+    _ = float(loss)
+    print(f"# [train] compile+first-step {time.time()-t0:.1f}s "
+          f"loss={float(loss):.6f}", file=sys.stderr)
+
+    def timed(iters):
+        nonlocal params, opt_state
+        t0 = time.time()
+        for _ in range(iters):
+            loss, params, opt_state = train_step(params, opt_state, feats)
+        _ = float(loss)
+        return (time.time() - t0) / iters
+
+    iters = 3 if QUICK else 30
+    timed(2)
+    best = min(timed(iters) for _ in range(2))
+    ups = B / best
+    print(f"# [train] amortized s/step over {iters}: {best:.4f} "
+          f"({ups:.0f} utts/s)", file=sys.stderr)
+    ref = _reference_ups()
+    print(json.dumps({
+        "metric": f"full training step utts/sec/chip "
+                  f"(B={B},T={T},S={S},K={K},P={P}; TDNN-512x5 + "
+                  f"bf16 Pallas den + linear numerators + adam)",
+        "value": round(ups, 2),
+        "unit": "utts/sec",
+        "vs_baseline": round(ups / ref, 2) if ref else None,
     }))
 
 
@@ -199,6 +274,8 @@ def main():
 
     if FULL:
         return _bench_full(rng, den, batch_bf16, x, lengths, B, T, S, K, P)
+    if TRAIN:
+        return _bench_train(rng, den, batch_bf16, lengths, B, T, S, K, P)
 
     grad_fn = jax.jit(jax.value_and_grad(chain_function))
 
