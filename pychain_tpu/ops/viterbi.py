@@ -37,13 +37,22 @@ def _as_batched(a, B):
     return jnp.broadcast_to(a, (B,) + a.shape)
 
 
-def viterbi_align(x, x_lengths, graphs) -> ViterbiResult:
+def viterbi_align(x, x_lengths, graphs,
+                  emission_mode: str = "auto",
+                  dense_sweep: bool | None = None) -> ViterbiResult:
     """Best path of each sequence through its (log-domain) graph.
 
     x (B, T, P) nnet log-likelihoods, x_lengths (B,), graphs a
     ``ChainGraphBatch`` (log domain) or log-domain ``GraphArrays``.
     Returns per-frame pdf ids and states along the single best path —
     the max-plus counterpart of ``chain_function``'s logsumexp.
+
+    ``emission_mode`` picks how the per-arc emission table
+    ``em[b,t,a] = x[b,t,pdf[b,a]]`` is built: ``"onehot"`` (one MXU
+    contraction), ``"gather"`` (one big take_along_axis), or ``"auto"``
+    (onehot within a B*K*P element budget).  On-chip A/B at B=128,
+    T=500, S=16, K=40, P=96: onehot 6.2 ms vs gather 31.9 ms/batch
+    under the dense sweep (91.9 vs 118.4 under the scatter sweep).
     """
     if not isinstance(graphs, GraphArrays):
         from ..loss import graph_arrays
@@ -73,11 +82,31 @@ def viterbi_align(x, x_lengths, graphs) -> ViterbiResult:
             v, s, num_segments=S, indices_are_sorted=False)
         return jax.vmap(f)(values, seg)
 
+    # Dense max-plus sweep: for numerator-scale graphs the per-step
+    # scatter-max (segment_max) and row gathers dominate the runtime
+    # (~8 cycles/element on TPU regardless of size).  Materialise the
+    # arc->state incidence as {0, -inf} masks once and turn both the
+    # source pickup and the destination reduction into broadcast
+    # max-reductions the VPU streams through.  On-chip A/B (B=128,
+    # T=500, S=16, K=40): 91.9 ms -> 6.2 ms/batch (14.8x).
+    dense = (B * K * S <= (1 << 24) if dense_sweep is None
+             else bool(dense_sweep))
+    if dense:
+        sid = jnp.arange(S, dtype=jnp.int32)
+        src_mask = jnp.where(src[:, :, None] == sid[None, None, :],
+                             0.0, NEG_INF).astype(x.dtype)   # (B, K, S)
+        dst_mask = jnp.where(dst[:, :, None] == sid[None, None, :],
+                             0.0, NEG_INF).astype(x.dtype)   # (B, K, S)
+
     # hoist emissions out of the scan: em[b,t,a] = x[b,t,pdf[b,a]] as
     # one one-hot MXU contraction (per-row TPU gathers cost ~8
     # cycles/element regardless of size — the same trade every other
     # engine makes); fall back to one big gather beyond the budget
-    if B * K * P <= (1 << 26):
+    if emission_mode not in ("auto", "onehot", "gather"):
+        raise ValueError(f"unknown emission_mode {emission_mode!r}")
+    use_onehot = (emission_mode == "onehot"
+                  or (emission_mode == "auto" and B * K * P <= (1 << 26)))
+    if use_onehot:
         onehot_p = jax.nn.one_hot(pdf, P, dtype=x.dtype)   # (B, K, P)
         em = jnp.einsum("btp,bkp->btk", x, onehot_p,
                         precision=jax.lax.Precision.HIGHEST)
@@ -90,15 +119,26 @@ def viterbi_align(x, x_lengths, graphs) -> ViterbiResult:
     def step(carry, inputs):
         delta, delta_end = carry
         t, em_frame = inputs
-        # cand[b, a] = delta[b, src[a]] + arc logp + emission at frame t
-        cand = (jnp.take_along_axis(delta, src, axis=1) + prob
-                + em_frame)
-        new_delta = seg_max(cand, dst)           # (B, S)
-        # backpointer: any arc achieving the max (exact float equality
-        # of identically-computed values); padded arcs carry -inf cand
-        # and never win where a real arc exists
-        winner = cand == jnp.take_along_axis(new_delta, dst, axis=1)
-        bp = seg_max(jnp.where(winner, arc_ids, -1), dst)
+        if dense:
+            # cand[b, a] = max_s(delta[b, s] + src_mask) + logp + em
+            cand = (jnp.max(delta[:, None, :] + src_mask, axis=2)
+                    + prob + em_frame)
+            scored = cand[:, :, None] + dst_mask          # (B, K, S)
+            new_delta = jnp.max(scored, axis=1)           # (B, S)
+            # backpointer: any arc achieving the max; argmax picks the
+            # first winner, -1 where no arc reaches the state
+            bp = jnp.argmax(scored, axis=1).astype(jnp.int32)
+            bp = jnp.where(new_delta > NEG_INF * 0.5, bp, -1)
+        else:
+            # cand[b, a] = delta[b, src[a]] + arc logp + emission at t
+            cand = (jnp.take_along_axis(delta, src, axis=1) + prob
+                    + em_frame)
+            new_delta = seg_max(cand, dst)       # (B, S)
+            # backpointer: any arc achieving the max (exact float
+            # equality of identically-computed values); padded arcs
+            # carry -inf cand and never win where a real arc exists
+            winner = cand == jnp.take_along_axis(new_delta, dst, axis=1)
+            bp = seg_max(jnp.where(winner, arc_ids, -1), dst)
         # capture each sequence's terminal scores in the carry (the
         # whole (T, B, S) delta history is never needed — fwdbwd.py
         # avoids the same whole-history take_along_axis)

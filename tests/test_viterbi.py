@@ -174,3 +174,30 @@ def test_durations_from_alignment_validation():
         durations_from_alignment(np.array([1, 3]))     # jumps by 2
     assert durations_from_alignment(np.array([1, 1, 2, 3, 3, -1]),
                                     ) == [2, 1, 2]
+
+def test_dense_and_sparse_sweeps_agree():
+    """The dense max-plus sweep (broadcast masks) and the scatter
+    segment_max sweep are the same recurrence on different hardware
+    paths; objf and alignments must match exactly, mixed lengths and
+    infeasible sequences included."""
+    topo = ChainTopology(num_phones=4)
+    rng = np.random.RandomState(7)
+    graphs = [ChainGraph(make_numerator_fst([1, 2, 0], topo),
+                         log_domain=True),
+              ChainGraph(random_fst(num_states=6, num_pdfs=topo.num_pdfs,
+                                    max_arcs_per_state=3, seed=3),
+                         log_domain=True),
+              ChainGraph(linear_fst([0, 1, 2, 3, 1, 0]),
+                         log_domain=True)]
+    lengths = np.array([11, 7, 6], np.int32)
+    T = int(lengths.max())
+    x = jnp.asarray(rng.randn(3, T, topo.num_pdfs).astype(np.float32))
+    batch = _batch(graphs)
+    d = viterbi_align(x, lengths, batch, dense_sweep=True)
+    s = viterbi_align(x, lengths, batch, dense_sweep=False)
+    np.testing.assert_allclose(np.asarray(d.objf), np.asarray(s.objf),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(d.pdfs), np.asarray(s.pdfs))
+    np.testing.assert_array_equal(np.asarray(d.states),
+                                  np.asarray(s.states))
+    np.testing.assert_array_equal(np.asarray(d.ok), np.asarray(s.ok))

@@ -70,6 +70,7 @@ def main():
 
     for mode, flags, timeout in (("headline", [], 1800),
                                  ("full", ["--full"], 1800),
+                                 ("train", ["--train"], 1800),
                                  ("semiring", ["--semiring"], 1800),
                                  ("s8k", ["--s8k"], 2400)):
         r = run([sys.executable, "bench.py"] + flags, timeout=timeout)
