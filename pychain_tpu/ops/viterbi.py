@@ -62,6 +62,8 @@ def viterbi_align(x, x_lengths, graphs,
     if g.leaky is not None:
         raise ValueError("viterbi_align needs a log-domain graph "
                          "(numerator supervision), got a prob-domain one")
+    if emission_mode not in ("auto", "onehot", "gather"):
+        raise ValueError(f"unknown emission_mode {emission_mode!r}")
     x = jnp.clip(x, -30.0, 30.0)                 # match chain_function
     B, T, P = x.shape
     S = g.num_states
@@ -92,11 +94,16 @@ def viterbi_align(x, x_lengths, graphs,
     dense = (B * K * S <= (1 << 24) if dense_sweep is None
              else bool(dense_sweep))
     if dense:
+        # build the masks from the UN-broadcast ids for shared graphs:
+        # (K, S) broadcasts against the (B, 1, S)/(B, K, 1) operands in
+        # the step, so B identical copies are never materialised
         sid = jnp.arange(S, dtype=jnp.int32)
-        src_mask = jnp.where(src[:, :, None] == sid[None, None, :],
-                             0.0, NEG_INF).astype(x.dtype)   # (B, K, S)
-        dst_mask = jnp.where(dst[:, :, None] == sid[None, None, :],
-                             0.0, NEG_INF).astype(x.dtype)   # (B, K, S)
+        m_src = g.bwd_src if g.shared else src
+        m_dst = g.bwd_dst if g.shared else dst
+        src_mask = jnp.where(m_src[..., :, None] == sid,
+                             0.0, NEG_INF).astype(x.dtype)  # ([B,] K, S)
+        dst_mask = jnp.where(m_dst[..., :, None] == sid,
+                             0.0, NEG_INF).astype(x.dtype)  # ([B,] K, S)
 
     # hoist emissions out of the scan: em[b,t,a] = x[b,t,pdf[b,a]] as
     # one one-hot MXU contraction (per-row TPU gathers cost ~8
@@ -125,9 +132,12 @@ def viterbi_align(x, x_lengths, graphs,
                     + prob + em_frame)
             scored = cand[:, :, None] + dst_mask          # (B, K, S)
             new_delta = jnp.max(scored, axis=1)           # (B, S)
-            # backpointer: any arc achieving the max; argmax picks the
-            # first winner, -1 where no arc reaches the state
-            bp = jnp.argmax(scored, axis=1).astype(jnp.int32)
+            # backpointer: HIGHEST arc index achieving the max (argmax
+            # over the K-reversed tensor), matching the scatter sweep's
+            # segment_max-over-arc-ids tie-break exactly; -1 where no
+            # arc reaches the state
+            bp = (K - 1 - jnp.argmax(jnp.flip(scored, axis=1), axis=1)
+                  ).astype(jnp.int32)
             bp = jnp.where(new_delta > NEG_INF * 0.5, bp, -1)
         else:
             # cand[b, a] = delta[b, src[a]] + arc logp + emission at t
