@@ -146,30 +146,40 @@ def _bench_train(rng, den, den_batch_bf16, lengths, B, T, S, K, P):
     model = TDNN(cfg)
     feats = jax.random.normal(jax.random.PRNGKey(1), (B, T, FEAT_DIM),
                               jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), feats, train=False)
+    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, feats):
+    def train_step(params, batch_stats, opt_state, feats):
+        # train=True: BatchNorm normalizes by batch statistics and the
+        # running stats update through the mutable collection — the
+        # full fidelity of a real step (adam only sees 'params')
         def loss_fn(p):
-            out = model.apply(p, feats, train=False)
-            return loss_mod(out, lengths, num_batch)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+            out, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, feats,
+                train=True, mutable=["batch_stats"])
+            return loss_mod(out, lengths, num_batch), upd["batch_stats"]
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return loss, optax.apply_updates(params, updates), opt_state
+        return loss, optax.apply_updates(params, updates), new_bs, opt_state
 
     t0 = time.time()
-    loss, params, opt_state = train_step(params, opt_state, feats)
+    loss, params, batch_stats, opt_state = train_step(
+        params, batch_stats, opt_state, feats)
     _ = float(loss)
     print(f"# [train] compile+first-step {time.time()-t0:.1f}s "
           f"loss={float(loss):.6f}", file=sys.stderr)
 
     def timed(iters):
-        nonlocal params, opt_state
+        nonlocal params, batch_stats, opt_state
         t0 = time.time()
         for _ in range(iters):
-            loss, params, opt_state = train_step(params, opt_state, feats)
+            loss, params, batch_stats, opt_state = train_step(
+                params, batch_stats, opt_state, feats)
         _ = float(loss)
         return (time.time() - t0) / iters
 
@@ -182,8 +192,9 @@ def _bench_train(rng, den, den_batch_bf16, lengths, B, T, S, K, P):
     ref = _reference_ups()
     print(json.dumps({
         "metric": f"full training step utts/sec/chip "
-                  f"(B={B},T={T},S={S},K={K},P={P}; TDNN-512x5 + "
-                  f"bf16 Pallas den + linear numerators + adam)",
+                  f"(B={B},T={T},S={S},K={K},P={P}; TDNN-512x5 "
+                  f"train-mode BN + bf16 Pallas den + linear "
+                  f"numerators + adam)",
         "value": round(ups, 2),
         "unit": "utts/sec",
         "vs_baseline": round(ups / ref, 2) if ref else None,

@@ -109,8 +109,6 @@ def viterbi_align(x, x_lengths, graphs,
     # one one-hot MXU contraction (per-row TPU gathers cost ~8
     # cycles/element regardless of size — the same trade every other
     # engine makes); fall back to one big gather beyond the budget
-    if emission_mode not in ("auto", "onehot", "gather"):
-        raise ValueError(f"unknown emission_mode {emission_mode!r}")
     use_onehot = (emission_mode == "onehot"
                   or (emission_mode == "auto" and B * K * P <= (1 << 26)))
     if use_onehot:
@@ -149,6 +147,10 @@ def viterbi_align(x, x_lengths, graphs,
             # carry -inf cand and never win where a real arc exists
             winner = cand == jnp.take_along_axis(new_delta, dst, axis=1)
             bp = seg_max(jnp.where(winner, arc_ids, -1), dst)
+            # same -1 masking as the dense sweep where no finite arc
+            # reaches the state, so both paths' raw bp tensors agree
+            # (without it, a padded -inf arc "wins" by -inf == -inf)
+            bp = jnp.where(new_delta > NEG_INF * 0.5, bp, -1)
         # capture each sequence's terminal scores in the carry (the
         # whole (T, B, S) delta history is never needed — fwdbwd.py
         # avoids the same whole-history take_along_axis)
