@@ -37,6 +37,12 @@ FULL = "--full" in sys.argv  # full ChainLoss (den + linear numerators)
                              # value+grad — the end-to-end training number
 SEMIRING = "--semiring" in sys.argv  # arbitrary cyclic numerator batch
                                      # on the one-hot semiring engine
+XL = "--xl" in sys.argv  # XL cyclic numerator batch (S~1000, K~3100)
+                         # beyond the dense one-hot budget: the XL
+                         # semiring kernels, A/B'd against gather
+LONG = "--long" in sys.argv  # BASELINE config 5: long utterances
+                             # (T=2500, bf16), stream_mode="auto"; add
+                             # --big for B=128 (auto -> lean streams)
 TRAIN = "--train" in sys.argv  # REAL training step at headline scale:
                                # TDNN fwd + ChainLoss + grad + adam
                                # update, one jitted step
@@ -51,7 +57,21 @@ else:
     IMPLS = ["factorized", "pallas"]  # parity engine + fast engine
 TILE_DTYPE = ("bfloat16" if ("--bf16" in sys.argv or S8K or FULL or TRAIN)
               else None)
-B, T = (16, 100) if QUICK else ((64, 300) if S8K else (128, 500))
+if LONG:
+    IMPLS = ["pallas"]
+    TILE_DTYPE = "bfloat16"
+if QUICK:
+    B, T = 16, 100
+elif S8K:
+    B, T = 64, 300
+elif LONG:
+    # BASELINE config 5 (long utterances, T>1500, bf16).  Default
+    # B=32 keeps the full fwd->bwd streams within budget; --big uses
+    # the headline batch so "auto" must drop to the lean stream mode
+    # (3 streams at B=128 T=2500 bf16 = 5.8 GB > STREAM_BUDGET).
+    B, T = (128, 2500) if "--big" in sys.argv else (32, 2500)
+else:
+    B, T = 128, 500
 NUM_PHONES, FANOUT = ((100, 10) if QUICK
                       else ((4000, 30) if S8K else (1500, 30)))
 
@@ -210,52 +230,85 @@ def _reference_ups():
         return json.load(f).get("reference_cpu", {}).get("utts_per_sec")
 
 
-def _bench_semiring():
+def _bench_semiring(xl=False):
     """Arbitrary cyclic numerator graphs (the class the reference's
     log-domain CUDA kernels serve): B random ergodic graphs, value+grad
     through impl='auto' (select-free Pallas kernels on TPU, XLA scan
-    elsewhere)."""
+    elsewhere).  With xl=True, the batch is sized beyond the dense
+    one-hot budget (S~1000, K~3100 per graph — the flat-start-utterance
+    class from VERDICT r2) so auto dispatch lands on the XL semiring
+    kernels, and the gather engine is A/B'd in the same process."""
     from pychain_tpu import ChainGraph, ChainGraphBatch
     from pychain_tpu.utils.testgraphs import random_fst
 
-    B, T, S_g, P = (8, 50, 12, 8) if QUICK else (128, 500, 16, 96)
+    if xl:
+        B, T, S_g, P = (8, 50, 200, 300) if QUICK else (128, 500, 1000,
+                                                        3000)
+        arcs_per_state = 5
+    else:
+        B, T, S_g, P = (8, 50, 12, 8) if QUICK else (128, 500, 16, 96)
+        arcs_per_state = 3
     graphs = [ChainGraph(random_fst(num_states=S_g, num_pdfs=P,
-                                    max_arcs_per_state=3, seed=s),
+                                    max_arcs_per_state=arcs_per_state,
+                                    seed=s),
                          log_domain=True) for s in range(B)]
     mk = max(g.num_transitions for g in graphs)
     ms = max(g.num_states for g in graphs)
     batch = ChainGraphBatch(graphs, max_num_transitions=mk,
                             max_num_states=ms)
-    assert batch._semiring is not None
+    if xl:
+        assert QUICK or batch._semiring is None, \
+            "xl config should exceed the dense one-hot budget"
+    else:
+        assert batch._semiring is not None
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, P), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
-    g = dispatch_arrays(batch, "auto")
+    g = dispatch_arrays(batch, "semiring_xl" if xl else "auto")
     vg = jax.jit(jax.value_and_grad(chain_function))
+    tag = "xl" if xl else "semiring"
 
     t0 = time.time()
     objf, grad = vg(x, lengths, g)
     _ = float(objf) + float(grad[0, 0, 0])
-    print(f"# [semiring] compile+first-run {time.time()-t0:.1f}s "
+    print(f"# [{tag}] compile+first-run {time.time()-t0:.1f}s "
           f"objf={float(objf):.4f}", file=sys.stderr)
 
-    def timed(iters):
+    def timed(iters, gg):
         t0 = time.time()
         for _ in range(iters):
-            o, gr = vg(x, lengths, g)
+            o, gr = vg(x, lengths, gg)
         _ = float(o) + float(gr[0, 0, 0])
         return (time.time() - t0) / iters
 
     iters = 3 if QUICK else 30
-    timed(2)
-    best = min(timed(iters) for _ in range(2))
+    timed(2, g)
+    best = min(timed(iters, g) for _ in range(2))
     ups = B / best
-    print(f"# [semiring] amortized s/batch over {iters}: {best:.4f} "
+    print(f"# [{tag}] amortized s/batch over {iters}: {best:.4f} "
           f"({ups:.0f} utts/s)", file=sys.stderr)
+
+    extra = ""
+    if xl:
+        # A/B the gather engine in the same process (few iterations —
+        # it is the measured ~200x cliff the XL engine removes)
+        gg = dispatch_arrays(batch, "gather")
+        og, gr = vg(x, lengths, gg)
+        dv = abs(float(og) - float(objf)) / max(abs(float(og)), 1.0)
+        g_iters = 1 if QUICK else 2
+        g_best = timed(g_iters, gg)
+        g_ups = B / g_best
+        print(f"# [gather A/B] {g_best:.3f} s/batch ({g_ups:.2f} utts/s); "
+              f"objf rel diff {dv:.2e}; xl speedup {ups / g_ups:.1f}x",
+              file=sys.stderr)
+        extra = (f"; gather engine {g_ups:.1f} utts/s -> "
+                 f"{ups / g_ups:.1f}x speedup, objf rel diff {dv:.1e}")
+
     ref = _reference_ups()
     print(json.dumps({
         "metric": f"arbitrary-cyclic numerator fwd-bwd utts/sec/chip "
-                  f"(B={B},T={T},S<={ms},K<={mk},P={P}; one-hot "
-                  f"semiring engine via auto)",
+                  f"(B={B},T={T},S<={ms},K<={mk},P={P}; "
+                  f"{'XL' if xl else 'one-hot'} semiring engine"
+                  f"{extra})",
         "value": round(ups, 2),
         "unit": "utts/sec",
         "vs_baseline": round(ups / ref, 2) if ref else None,
@@ -264,8 +317,8 @@ def _bench_semiring():
 
 def main():
     _require_live_backend()
-    if SEMIRING:
-        return _bench_semiring()
+    if SEMIRING or XL:
+        return _bench_semiring(xl=XL)
     rng = np.random.RandomState(0)
     den_fst, P = denominator_fst(num_phones=NUM_PHONES, states_per_phone=2,
                                  seed=0, bigram_fanout=FANOUT)
@@ -339,6 +392,10 @@ def main():
     extra = f"; other engines: {others} utts/s" if others else ""
     if S8K:
         extra += "; beyond-VMEM graph, auto-fallback to XLA factorized"
+    if LONG:
+        from pychain_tpu.ops.pallas_fact import select_stream_mode
+        mode = select_stream_mode(T, ((S + 127) // 128) * 128, B, 2, 3)
+        extra += f"; long-T bf16, stream_mode auto -> {mode}"
     print(json.dumps({
         "metric": f"den-graph fwd-bwd utts/sec/chip "
                   f"(B={B},T={T},S={S},K={K},P={P}; "

@@ -37,6 +37,7 @@ from .ops.factorized import FactorizedArrays, forward_backward_prob_fact
 from .ops.leveled import LeveledArrays, forward_backward_leveled
 from .ops.linear import LinearArrays, forward_backward_linear
 from .ops.semiring import SemiringArrays, forward_backward_semiring
+from .ops.semiring_xl import SemiringXLArrays
 from .ops.fwdbwd import (
     GraphArrays,
     FwdBwdResult,
@@ -65,10 +66,13 @@ def dispatch_arrays(graphs, impl: str = "auto"):
     impl: "auto" (linear closed form for linear-chain numerator
     batches, leveled band for time-synchronous batches, one-hot
     semiring MXU engine for arbitrary log-domain batches within budget,
-    factorized MXU path for shared prob-domain graphs, generic gather
-    path otherwise), "gather", "linear", "leveled", "semiring",
-    "factorized", or "pallas" (fused VMEM-resident kernels, bfloat16
-    fast mode; requires a fully factorized shared graph).
+    XL semiring kernels for larger cyclic batches whose per-graph masks
+    fit VMEM [TPU], factorized MXU path for shared prob-domain graphs,
+    generic gather path otherwise — with a one-time warning when a
+    cyclic log-domain batch drops all the way to gather), "gather",
+    "linear", "leveled", "semiring", "semiring_xl", "factorized", or
+    "pallas" (fused VMEM-resident kernels, bfloat16 fast mode; requires
+    a fully factorized shared graph).
     """
     return _log_engine(_dispatch_arrays(graphs, impl), impl)
 
@@ -115,12 +119,48 @@ def _force_engine(graphs, kind):
             graphs._semiring = built
             return built
         return None
+    if kind == "semiring_xl":
+        from .ops.semiring_xl import fits_xl_budget, semiring_xl_arrays
+        if (gl and gl[0].log_domain
+                and fits_xl_budget(graphs.num_transitions,
+                                   graphs.num_states)):
+            built = semiring_xl_arrays(graphs)
+            graphs._semiring_xl = built
+            return built
+        return None
     return None
+
+
+_gather_fallback_warned = False
+
+
+def _warn_gather_fallback(graphs):
+    """One-time warning when an arbitrary (cyclic) log-domain batch
+    silently drops off every fast engine onto the generic gather path —
+    a ~100-1000x throughput cliff that is otherwise only visible at
+    verbose >= 1 (measured: 6.1 utts/s gather vs thousands for the
+    semiring engines at B=128 T=500 S~1000 K~3100)."""
+    global _gather_fallback_warned
+    if _gather_fallback_warned:
+        return
+    _gather_fallback_warned = True
+    import warnings
+    warnings.warn(
+        "pychain_tpu: cyclic log-domain graph batch (B={}, K={}, S={}) "
+        "exceeds the fast-engine budgets or runs off-TPU; dispatching "
+        "to the generic gather engine (typically 100-1000x slower). "
+        "Reduce B*K*S below the one-hot budget, keep 2*S_pad*K_pad*4 "
+        "within the XL VMEM budget on a TPU backend, or force "
+        "impl='semiring_xl'.".format(graphs.batch_size,
+                                     graphs.num_transitions,
+                                     graphs.num_states),
+        RuntimeWarning, stacklevel=4)
 
 
 def _dispatch_arrays(graphs, impl):
     if isinstance(graphs, (GraphArrays, FactorizedArrays, LinearArrays,
-                           LeveledArrays, SemiringArrays)):
+                           LeveledArrays, SemiringArrays,
+                           SemiringXLArrays)):
         return graphs
     if impl == "gather":
         return graph_arrays(graphs)
@@ -168,6 +208,27 @@ def _dispatch_arrays(graphs, impl):
             return built
         raise ValueError("semiring impl requires a list-built log-domain "
                          "batch within the one-hot size budget")
+    sxl = getattr(graphs, "_semiring_xl", None)
+    if sxl is not None and impl in ("auto", "semiring_xl"):
+        return sxl
+    if impl == "semiring_xl":
+        built = _force_engine(graphs, "semiring_xl")
+        if built is not None:
+            return built
+        raise ValueError("semiring_xl impl requires a list-built "
+                         "log-domain batch whose per-graph one-hot "
+                         "masks fit the XL VMEM budget")
+    if (impl == "auto" and getattr(graphs, "log_domain", False)
+            and getattr(graphs, "_graphs", None) is not None):
+        # arbitrary cyclic batch that no dense engine claimed: the XL
+        # kernels take it when the per-graph masks fit VMEM (TPU only —
+        # off-TPU they would run in the Pallas interpreter, far slower
+        # than even the gather scan)
+        if jax.default_backend() == "tpu":
+            built = _force_engine(graphs, "semiring_xl")
+            if built is not None:
+                return built
+        _warn_gather_fallback(graphs)
     fact = getattr(graphs, "_fact", None)
     if impl == "pallas":
         from .ops.pallas_fact import fits_vmem, supports
@@ -213,6 +274,9 @@ def _run(x, lengths, g, leaky_coefficient, debug=True) -> FwdBwdResult:
                 forward_backward_semiring_pallas)
             return forward_backward_semiring_pallas(x, lengths, g)
         return forward_backward_semiring(x, lengths, g)
+    if isinstance(g, SemiringXLArrays):
+        from .ops.semiring_xl import forward_backward_semiring_xl
+        return forward_backward_semiring_xl(x, lengths, g)
     if isinstance(g, FactorizedArrays):
         if g.engine == "pallas":
             from .ops.pallas_fact import forward_backward_prob_pallas

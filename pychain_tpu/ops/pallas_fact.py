@@ -780,6 +780,18 @@ STREAM_BUDGET = 4 * 1024 * 1024 * 1024
 LEAN_BUDGET = 4 * 1024 * 1024 * 1024
 
 
+def select_stream_mode(T: int, s_pad: int, B: int, itemsize: int,
+                       n_streams: int) -> str:
+    """The "auto" stream-mode policy, exposed for tests and sizing:
+    cheapest mode whose fwd->bwd streams fit the HBM budgets."""
+    row_bytes = T * s_pad * B * itemsize
+    if n_streams * row_bytes <= STREAM_BUDGET:
+        return "full"
+    if row_bytes <= LEAN_BUDGET:
+        return "lean"
+    return "ckpt"
+
+
 def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
                                  leaky_coefficient=1e-5,
                                  b_tile: int = 128,
@@ -840,13 +852,12 @@ def forward_backward_prob_pallas(px, lengths, fa: FactorizedArrays,
 
     if stream_mode == "auto":
         n_streams = 3 if fa.xsrc_mode == "identity" else 4
-        row_bytes = T * s_pad * B * jnp.dtype(sd).itemsize
-        if n_streams * row_bytes <= STREAM_BUDGET:
-            stream_mode = "full"
-        elif row_bytes <= LEAN_BUDGET:
-            stream_mode = "lean"
-        else:
-            stream_mode = "ckpt"
+        stream_mode = select_stream_mode(
+            T, s_pad, B, jnp.dtype(sd).itemsize, n_streams)
+        if get_verbose_level() >= 1:
+            import sys as _sys
+            print(f"pychain_tpu: pallas stream_mode auto -> {stream_mode} "
+                  f"(T={T}, s_pad={s_pad}, B={B})", file=_sys.stderr)
     if stream_mode == "ckpt":
         return _forward_backward_ckpt(
             px, px_tm, lengths, fa, leaky_coefficient, b_tile, mm, sd,

