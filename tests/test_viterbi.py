@@ -201,3 +201,38 @@ def test_dense_and_sparse_sweeps_agree():
     np.testing.assert_array_equal(np.asarray(d.states),
                                   np.asarray(s.states))
     np.testing.assert_array_equal(np.asarray(d.ok), np.asarray(s.ok))
+
+
+def test_blockwise_dense_sweep_exact_parity(monkeypatch):
+    """Tiled dense sweep (forced by a tiny TILE_BUDGET) must match the
+    single-block dense sweep AND the scatter sweep exactly — scores,
+    pdf paths, states, and the tie-break rule (highest arc id)."""
+    import pychain_tpu.ops.viterbi as vt
+    rng = np.random.RandomState(5)
+    B, T, P = 4, 10, 6
+    graphs = [ChainGraph(random_fst(num_states=9 + b, num_pdfs=P,
+                                    max_arcs_per_state=4, seed=300 + b),
+                         log_domain=True) for b in range(B)]
+    batch = _batch(graphs)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.array([10, 8, 5, 2], np.int32)
+
+    full = viterbi_align(x, lengths, batch, dense_sweep=True)
+    scat = viterbi_align(x, lengths, batch, dense_sweep=False)
+    monkeypatch.setattr(vt, "TILE_BUDGET", 1)   # force (8, 8) tiles
+    tiled = viterbi_align(x, lengths, batch, dense_sweep=True)
+
+    for res in (tiled,):
+        np.testing.assert_allclose(np.asarray(res.objf),
+                                   np.asarray(full.objf), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(res.pdfs),
+                                      np.asarray(full.pdfs))
+        np.testing.assert_array_equal(np.asarray(res.states),
+                                      np.asarray(full.states))
+    # and against the scatter sweep (identical tie-break by design)
+    np.testing.assert_allclose(np.asarray(tiled.objf),
+                               np.asarray(scat.objf), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tiled.pdfs),
+                                  np.asarray(scat.pdfs))
+    np.testing.assert_array_equal(np.asarray(tiled.states),
+                                  np.asarray(scat.states))
