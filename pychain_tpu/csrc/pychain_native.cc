@@ -42,6 +42,19 @@ struct Fst {
 template <typename T>
 bool read_pod(FILE* f, T* out) { return fread(out, sizeof(T), 1, f) == 1; }
 
+// Bytes between the current position and EOF (-1 on error).  Used to
+// bound header-declared element counts BEFORE allocating: a corrupted
+// count must fail cleanly, not bad_alloc/OOB (fuzz hardening; the
+// Python readers apply the same bounds so accept/reject decisions
+// agree).
+long remaining_bytes(FILE* f) {
+  long pos = ftell(f);
+  if (pos < 0 || fseek(f, 0, SEEK_END) != 0) return -1;
+  long end = ftell(f);
+  if (fseek(f, pos, SEEK_SET) != 0) return -1;
+  return end - pos;
+}
+
 bool read_string(FILE* f, std::string* out) {
   int32_t n;
   if (!read_pod(f, &n) || n < 0 || n > 1 << 20) return false;
@@ -95,13 +108,40 @@ void* pc_fst_read(const char* path, long offset) {
   if ((flags & 0x1) && !skip_symbol_table(f)) return fail();
   if ((flags & 0x2) && !skip_symbol_table(f)) return fail();
 
+  // corrupted-count guards: every state/arc record costs file bytes,
+  // so counts beyond the remaining payload are rejected BEFORE any
+  // allocation (same rule as graphs/fst.py read_stream)
+  long rem = remaining_bytes(f);
+  if (rem < 0 || num_states < 0 || num_arcs < 0 || start < -1 ||
+      num_arcs > rem / 16)
+    return fail();
+  // range-check the 64-bit start BEFORE the int32 truncation below: a
+  // corrupted high word must reject, not alias a valid state id
+  if (num_states > 0 && (start < 0 || start >= num_states))
+    return fail();
+
   auto* fst = new Fst();
   fst->start = (int32_t)start;
   struct ArcRec { int32_t il, ol; float w; int32_t ns; };
+  auto fail_del = [&]() -> void* { delete fst; fclose(f); return nullptr; };
+  // post-load structural validation, mirroring FST.validate():
+  // start range, nextstate range, non-negative ilabels
+  auto validate = [&]() -> bool {
+    const int S = fst->num_states();
+    if (S == 0) { fst->start = -1; return true; }
+    if (fst->start < 0 || fst->start >= S) return false;
+    if (fst->offsets[S] > (int64_t)fst->ilabels.size()) return false;
+    for (size_t a = 0; a < fst->nextstates.size(); a++) {
+      if (fst->nextstates[a] < 0 || fst->nextstates[a] >= S) return false;
+      if (fst->ilabels[a] < 0) return false;
+    }
+    return true;
+  };
   if (fsttype == "const") {
     // ConstFst<StdArc, uint32>: flat state records then flat arcs;
     // version 1 = 16-byte aligned arrays, 2 = unaligned.
     if (version != 1 && version != 2) { delete fst; return fail(); }
+    if (num_states > rem / 20) return fail_del();
     auto align16 = [&]() {
       if (version == 1) {
         long pos = ftell(f);
@@ -133,10 +173,12 @@ void* pc_fst_read(const char* path, long offset) {
         fst->weights.push_back(a.w); fst->nextstates.push_back(a.ns);
       }
     }
+    if (!validate()) return fail_del();
     fclose(f);
     return fst;
   }
   if (version < 2) { delete fst; return fail(); }
+  if (num_states > rem / 12) return fail_del();
   if (num_states > 0) {
     fst->final_w.resize(num_states);
     fst->offsets.resize(num_states + 1, 0);
@@ -147,7 +189,8 @@ void* pc_fst_read(const char* path, long offset) {
     std::vector<ArcRec> buf;
     for (int64_t s = 0; s < num_states; s++) {
       float fw; int64_t narcs;
-      if (!read_pod(f, &fw) || !read_pod(f, &narcs) || narcs < 0) {
+      if (!read_pod(f, &fw) || !read_pod(f, &narcs) || narcs < 0 ||
+          narcs > rem / 16) {
         delete fst; return fail();
       }
       fst->final_w[s] = fw;
@@ -162,6 +205,7 @@ void* pc_fst_read(const char* path, long offset) {
       }
     }
   }
+  if (!validate()) return fail_del();
   fclose(f);
   return fst;
 }
@@ -284,6 +328,7 @@ int pc_fst_compile(void* h, int log_domain, int32_t* fwd_trans,
 int pc_fst_leaky(void* h, int num_iters, float* out) {
   Fst* fst = (Fst*)h;
   const int S = fst->num_states();
+  if (S == 0 || fst->start < 0 || fst->start >= S) return -1;
   std::vector<double> nf(S), cur(S, 0.0), nxt(S, 0.0), avg(S, 0.0);
   for (int s = 0; s < S; s++) {
     double tot = std::exp(-(double)fst->final_w[s]);
@@ -499,6 +544,25 @@ static int read_feat_header(FILE* f, char tok[4], int32_t* rows,
   return -1;
 }
 
+// Validate a feature header's shape against the remaining payload:
+// corrupted (negative/oversized) rows/cols must reject, not allocate
+// or index out of bounds (fuzz hardening).
+static int feat_shape_ok(FILE* f, const char tok[4], int32_t rows,
+                         int32_t cols) {
+  if (rows < 0 || cols < 0) return 0;
+  long rem = remaining_bytes(f);
+  if (rem < 0) return 0;
+  const int64_t n = (int64_t)rows * cols;
+  if (n > rem) return 0;  // every format needs >= 1 byte per element
+  int64_t need;
+  if (!strcmp(tok, "FM")) need = 4 * n;
+  else if (!strcmp(tok, "DM")) need = 8 * n;
+  else if (!strcmp(tok, "CM2")) need = 2 * n;
+  else if (!strcmp(tok, "CM3")) need = n;
+  else need = 8 * (int64_t)cols + n;  // CM: headers + codes
+  return need <= rem;
+}
+
 // Probe a matrix at `offset` (pointing at the \0B marker): fills
 // rows/cols.  Returns 0 ok, -1 on format error.
 int pc_feats_probe(const char* path, long offset, int32_t* rows,
@@ -513,6 +577,7 @@ int pc_feats_probe(const char* path, long offset, int32_t* rows,
   char tok[4];
   float minv, rng;
   int rc = read_feat_header(f, tok, rows, cols, &minv, &rng);
+  if (rc == 0 && !feat_shape_ok(f, tok, *rows, *cols)) rc = -1;
   fclose(f);
   return rc;
 }
@@ -530,7 +595,8 @@ int pc_feats_read(const char* path, long offset, float* out) {
   char tok[4];
   int32_t rows = 0, cols = 0;
   float minv = 0, rng = 1;
-  if (read_feat_header(f, tok, &rows, &cols, &minv, &rng) != 0) {
+  if (read_feat_header(f, tok, &rows, &cols, &minv, &rng) != 0 ||
+      !feat_shape_ok(f, tok, rows, cols)) {
     fclose(f); return -1;
   }
   const int64_t n = (int64_t)rows * cols;

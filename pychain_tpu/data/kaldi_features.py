@@ -42,6 +42,27 @@ def _read_basic_int32(f) -> int:
     return struct.unpack("<i", f.read(4))[0]
 
 
+def _shape_ok(f, tok: bytes, rows: int, cols: int) -> None:
+    """Reject corrupted (negative/oversized) shapes BEFORE allocating:
+    a header-declared element count costs payload bytes, so counts
+    beyond the remaining file must fail cleanly.  Mirrors the C++
+    reader's feat_shape_ok (csrc/pychain_native.cc) so accept/reject
+    decisions agree between the two decoders."""
+    if rows < 0 or cols < 0:
+        raise ValueError(f"negative matrix shape {rows}x{cols}")
+    pos = f.tell()
+    f.seek(0, 2)
+    rem = f.tell() - pos
+    f.seek(pos)
+    n = rows * cols
+    need = {b"FM": 4 * n, b"DM": 8 * n, b"CM2": 2 * n, b"CM3": n,
+            b"CM": 8 * cols + n}[tok]
+    if need > rem:
+        raise ValueError(
+            f"matrix shape {rows}x{cols} ({tok!r}) exceeds the "
+            f"remaining {rem} payload bytes")
+
+
 def read_matrix(f) -> np.ndarray:
     """Read one Kaldi binary matrix at the current position (after the
     binary marker)."""
@@ -56,7 +77,9 @@ def read_matrix(f) -> np.ndarray:
         raise ValueError(f"unsupported Kaldi matrix token {tok!r}")
     rows = _read_basic_int32(f)
     cols = _read_basic_int32(f)
-    data = np.frombuffer(f.read(rows * cols * dtype.itemsize), dtype)
+    _shape_ok(f, tok, rows, cols)
+    data = np.frombuffer(f.read(rows * cols * dtype.itemsize), dtype,
+                         count=rows * cols)
     return data.reshape(rows, cols).astype(np.float32)
 
 
@@ -75,21 +98,29 @@ def read_matrix(f) -> np.ndarray:
 #   CM3 (kOneByte):  uint8  per element, row-major, min+range*u/255.
 
 def _read_compressed_matrix(f, tok) -> np.ndarray:
-    min_value, rng, rows, cols = struct.unpack("<ffii", f.read(16))
+    hdr = f.read(16)
+    if len(hdr) != 16:
+        raise ValueError("truncated CompressedMatrix header")
+    min_value, rng, rows, cols = struct.unpack("<ffii", hdr)
+    _shape_ok(f, tok, rows, cols)
     if tok == b"CM2":
-        u = np.frombuffer(f.read(rows * cols * 2), "<u2")
+        u = np.frombuffer(f.read(rows * cols * 2), "<u2",
+                          count=rows * cols)
         return (min_value + rng * u.astype(np.float32) / 65535.0) \
             .reshape(rows, cols)
     if tok == b"CM3":
-        u = np.frombuffer(f.read(rows * cols), np.uint8)
+        u = np.frombuffer(f.read(rows * cols), np.uint8,
+                          count=rows * cols)
         return (min_value + rng * u.astype(np.float32) / 255.0) \
             .reshape(rows, cols)
     out = np.empty((rows, cols), np.float32)
     # Kaldi layout (compressed-matrix.cc): ALL PerColHeaders first
     # (num_cols x 4 uint16), then all code bytes, one column after
     # another (num_cols x num_rows uint8) — NOT interleaved per column.
-    headers = np.frombuffer(f.read(cols * 8), "<u2").reshape(cols, 4)
-    codes = np.frombuffer(f.read(cols * rows), np.uint8)
+    headers = np.frombuffer(f.read(cols * 8), "<u2",
+                            count=cols * 4).reshape(cols, 4)
+    codes = np.frombuffer(f.read(cols * rows), np.uint8,
+                          count=cols * rows)
     for c in range(cols):
         pu = headers[c]
         p0, p25, p75, p100 = (

@@ -123,6 +123,10 @@ class FST:
             self.nextstates.min() < 0 or self.nextstates.max() >= s
         ):
             raise ValueError("arc nextstate out of range")
+        if self.num_arcs and self.ilabels.min() < 0:
+            raise ValueError("negative arc ilabel")
+        if int(self.arc_offsets[-1]) > self.num_arcs:
+            raise ValueError("arc_offsets exceed the arc arrays")
 
     # ------------------------------------------------------------------
     # Builders
@@ -218,11 +222,23 @@ class FST:
             _skip_symbol_table(f)
         if flags & _HAS_OSYMBOLS:
             _skip_symbol_table(f)
+        # corrupted-count guards: counts beyond the remaining payload
+        # reject BEFORE any allocation (same bounds as the C++ reader,
+        # pychain_native.cc pc_fst_read, so accept/reject agree)
+        pos = f.tell()
+        f.seek(0, 2)
+        rem = f.tell() - pos
+        f.seek(pos)
+        if (start < -1 or num_states < 0 or num_arcs < 0
+                or num_arcs > rem // 16):
+            raise ValueError("corrupt FST header counts")
         if fsttype == b"const":
             return FST._read_const_body(f, version, start, num_states,
                                         num_arcs)
         if version < 2:
             raise ValueError(f"unsupported VectorFst version {version}")
+        if num_states > rem // 12:
+            raise ValueError("corrupt FST header counts")
 
         if num_states <= 0:
             return FST()
@@ -239,9 +255,12 @@ class FST:
             hdr = f.read(12)
             final[s] = np.frombuffer(hdr, "<f4", count=1, offset=0)[0]
             narcs = struct.unpack("<q", hdr[4:12])[0]
+            if narcs < 0 or narcs > rem // 16:
+                raise ValueError("corrupt FST state arc count")
             offsets[s + 1] = offsets[s] + narcs
             if narcs:
-                chunks.append(np.frombuffer(f.read(16 * narcs), arc_dt))
+                chunks.append(np.frombuffer(f.read(16 * narcs), arc_dt,
+                                            count=narcs))
         if chunks:
             arcs = np.concatenate(chunks)
         else:
@@ -276,6 +295,12 @@ class FST:
 
         if num_states <= 0:
             return FST()
+        pos0 = f.tell()
+        f.seek(0, 2)
+        rem = f.tell() - pos0
+        f.seek(pos0)
+        if num_states > rem // 20:
+            raise ValueError("corrupt ConstFst header counts")
         state_dt = np.dtype([("final", "<f4"), ("pos", "<u4"),
                              ("narcs", "<u4"), ("nieps", "<u4"),
                              ("noeps", "<u4")])
@@ -283,9 +308,11 @@ class FST:
                            ("ns", "<i4")])
         align()
         states = np.frombuffer(
-            f.read(state_dt.itemsize * num_states), state_dt)
+            f.read(state_dt.itemsize * num_states), state_dt,
+            count=num_states)
         align()
-        arcs = np.frombuffer(f.read(arc_dt.itemsize * num_arcs), arc_dt)
+        arcs = np.frombuffer(f.read(arc_dt.itemsize * num_arcs), arc_dt,
+                             count=num_arcs)
         narcs = states["narcs"].astype(np.int64)
         offsets = np.zeros(num_states + 1, np.int64)
         np.cumsum(narcs, out=offsets[1:])
