@@ -66,10 +66,11 @@ elif S8K:
     B, T = 64, 300
 elif LONG:
     # BASELINE config 5 (long utterances, T>1500, bf16).  Default
-    # B=32 keeps the full fwd->bwd streams within budget; --big uses
-    # the headline batch so "auto" must drop to the lean stream mode
-    # (3 streams at B=128 T=2500 bf16 = 5.8 GB > STREAM_BUDGET).
-    B, T = (128, 2500) if "--big" in sys.argv else (32, 2500)
+    # B=32 keeps the full fwd->bwd streams within budget; --big sizes
+    # the batch so "auto" must drop to the lean stream mode (3 streams
+    # at B=64 T=3500 bf16 = 4.1 GB > STREAM_BUDGET) while x + grad +
+    # streams still fit HBM (B=128 T=2500 OOMs: 7.7 GB in x/grad alone).
+    B, T = (64, 3500) if "--big" in sys.argv else (32, 2500)
 else:
     B, T = 128, 500
 NUM_PHONES, FANOUT = ((100, 10) if QUICK

@@ -248,6 +248,13 @@ def main():
     ap.add_argument("--xent-regularize", type=float, default=0.0)
     ap.add_argument("--l2-regularize", type=float, default=0.0)
     ap.add_argument("--ckpt", type=str, default="")
+    ap.add_argument("--diag-every", type=int, default=10,
+                    help="run the ok-flag diagnostic forward every N "
+                         "steps (0 disables; diagnostics are extra "
+                         "compute outside the steady-state path)")
+    ap.add_argument("--warmup-steps", type=int, default=3,
+                    help="steps excluded from the steady-state "
+                         "throughput report (jit compilation)")
     ap.add_argument("--dp", action="store_true")
     ap.add_argument("--tile-dtype", type=str, default="",
                     help="bfloat16 for the Pallas fast denominator mode")
@@ -256,6 +263,12 @@ def main():
                     help="'built' runs the native transcript->LM->"
                          "denominator pipeline (graphs/builder.py) "
                          "instead of the random generators")
+    ap.add_argument("--corpus-utts", type=int, default=96,
+                    help="synthetic corpus size (ignored with "
+                         "--data-dir)")
+    ap.add_argument("--corpus-phones", type=int, default=24)
+    ap.add_argument("--corpus-min-t", type=int, default=40)
+    ap.add_argument("--corpus-max-t", type=int, default=90)
     ap.add_argument("--num-style",
                     choices=("aligned", "constrained", "flat"),
                     default="aligned",
@@ -280,6 +293,10 @@ def main():
     data_dir = args.data_dir
     if not data_dir:
         data_dir = make_synthetic_corpus("/tmp/pychain_tpu_corpus",
+                                         utts=args.corpus_utts,
+                                         num_phones=args.corpus_phones,
+                                         min_t=args.corpus_min_t,
+                                         max_t=args.corpus_max_t,
                                          graphs=args.synthetic_graphs,
                                          num_style=args.num_style)
 
@@ -468,6 +485,11 @@ def main():
     t_start = time.time()
     loss = float("nan")
     realigned = False
+    # steady-state accounting: everything after the warmup steps (jit
+    # compiles) with the prefetcher running — the number that shows
+    # host assembly keeping up with (or starving) the device step
+    utts_done = frames_done = 0
+    steady_t0 = steady_utts0 = steady_frames0 = None
     while step < args.steps:
         epoch += 1
         want_realign = False
@@ -484,13 +506,21 @@ def main():
                 loss, params, opt_state = train_step(
                     params, opt_state, x_j, lens_j, num_g, den_g)
                 step += 1
+                utts_done += x_j.shape[0]
+                frames_done += int(np.asarray(lens).sum())
+                if (steady_t0 is None
+                        and step >= step0 + args.warmup_steps):
+                    _ = float(loss)  # sync: exclude queued compile work
+                    steady_t0 = time.time()
+                    steady_utts0, steady_frames0 = utts_done, frames_done
                 if args.model == "tdnnf" and step % 4 == 0:
                     # Kaldi applies the semi-orthogonal constraint every
                     # few optimizer steps (floating case)
                     from pychain_tpu.models import (
                         constrain_semi_orthogonal)
                     params = constrain_semi_orthogonal(params)
-                if step % 10 == 0 or step == step0 + 1:
+                if args.diag_every and (step % args.diag_every == 0
+                                        or step == step0 + 1):
                     out = apply_model(params, x_j, lens_j)
                     _, aux = chain_function_with_aux(out, lens_j, den_g)
                     rep_ok = check_result(aux, lens)
@@ -507,6 +537,13 @@ def main():
             realigned = True
     if args.ckpt:
         save_checkpoint(args.ckpt, step, (params, opt_state))
+    _ = float(loss)  # sync the last dispatched step before timing
+    if steady_t0 is not None and utts_done > steady_utts0:
+        dt = time.time() - steady_t0
+        print(f"steady-state: {(utts_done - steady_utts0) / dt:.1f} "
+              f"utts/s, {(frames_done - steady_frames0) / dt:.0f} "
+              f"frames/s over {step - step0 - args.warmup_steps} steps "
+              f"(prefetch depth 2, host assembly overlapped)")
     print(f"done: {step - step0} steps in {time.time() - t_start:.1f}s; "
           f"final loss {float(loss):.4f}")
     return float(loss)
