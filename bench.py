@@ -68,9 +68,13 @@ elif LONG:
     # BASELINE config 5 (long utterances, T>1500, bf16).  Default
     # B=32 keeps the full fwd->bwd streams within budget; --big sizes
     # the batch so "auto" must drop to the lean stream mode (3 streams
-    # at B=64 T=3500 bf16 = 4.1 GB > STREAM_BUDGET) while x + grad +
-    # streams still fit HBM (B=128 T=2500 OOMs: 7.7 GB in x/grad alone).
-    B, T = (64, 3500) if "--big" in sys.argv else (32, 2500)
+    # at B=64 T=3700 bf16 = 4.37e9 B > the 4 GiB STREAM_BUDGET;
+    # T=3500 came in at 4.13e9 and still picked "full").  x + exp(x) +
+    # grad are ~8.5 GB next to lean's single 1.46 GB alpha stream, so
+    # --big also syncs every timed iteration: two async grads in
+    # flight is the difference between ~11 GB and OOM (B=128 T=2500
+    # is 7.7 GB in x/grad alone and OOMs outright).
+    B, T = (64, 3700) if "--big" in sys.argv else (32, 2500)
 else:
     B, T = 128, 500
 NUM_PHONES, FANOUT = ((100, 10) if QUICK
@@ -354,20 +358,36 @@ def main():
         _ = float(objf) + float(grad[0, 0, 0])
         print(f"# [{impl}] compile+first-run {time.time()-t0:.1f}s "
               f"objf={float(objf):.4f}", file=sys.stderr)
+        del objf, grad      # HBM-tight configs: don't hold a stale
+                            # (B, T, P) grad across the timed runs
 
         # Amortised timing: enqueue N batches asynchronously, sync once
         # (per-call sync costs ~35 ms on the tunneled backend, and the
         # first few dispatches after a sync stall while the tunnel
         # pipeline refills — so N must be large enough to amortise it;
         # measured: 10 iters over-reports ~40%, 30 is stable).
+        # --long --big runs within ~1 GB of HBM capacity: reading each
+        # grad before the next dispatch keeps exactly one output alive
+        # (two in-flight 2.7 GB grads OOM).  The ~35 ms/call sync tax
+        # is <15% at this batch's step time; everywhere else the
+        # enqueue-N-sync-once discipline stands.
+        sync_each = LONG and "--big" in sys.argv
+
         def timed(iters):
             t0 = time.time()
             for _ in range(iters):
                 o, gr = grad_fn(x, lengths, g)
-            _ = float(o) + float(gr[0, 0, 0])
+                if sync_each:
+                    # read AND drop the outputs before re-dispatching:
+                    # the next execution's 2.7 GB grad buffer must not
+                    # coexist with this one
+                    _ = float(o) + float(gr[0, 0, 0])
+                    del o, gr
+            if not sync_each:
+                _ = float(o) + float(gr[0, 0, 0])
             return (time.time() - t0) / iters
 
-        iters = 3 if QUICK else 30
+        iters = 3 if QUICK else (10 if sync_each else 30)
         timed(2)  # warm the dispatch path
         best = min(timed(iters) for _ in range(2))
         print(f"# [{impl}] amortized s/batch over {iters}: {best:.4f} "

