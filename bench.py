@@ -320,8 +320,62 @@ def _bench_semiring(xl=False):
     }))
 
 
+def _bench_viterbi():
+    """Forced-alignment throughput at the constrained-graph realignment
+    size (VERDICT r2 #4): per-utterance random graphs, Pallas
+    VMEM-resident max-plus sweep A/B'd against the scatter sweep in the
+    same process, exact objf/path parity asserted."""
+    from pychain_tpu import ChainGraph, ChainGraphBatch, viterbi_align
+    from pychain_tpu.utils.testgraphs import random_fst
+
+    B, T, S_g, P = (8, 40, 24, 16) if QUICK else (128, 500, 512, 512)
+    graphs = [ChainGraph(random_fst(num_states=S_g, num_pdfs=P,
+                                    max_arcs_per_state=4, seed=s),
+                         log_domain=True) for s in range(B)]
+    mk = max(g.num_transitions for g in graphs)
+    ms = max(g.num_states for g in graphs)
+    batch = ChainGraphBatch(graphs, max_num_transitions=mk,
+                            max_num_states=ms)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, P), jnp.float32)
+    lengths = jnp.full((B,), T, jnp.int32)
+
+    def run(tag, sweep, iters):
+        fn = jax.jit(lambda xx: viterbi_align(xx, lengths, batch,
+                                              sweep=sweep))
+        t0 = time.time()
+        r = fn(x)
+        _ = float(r.objf.sum()) + int(np.asarray(r.pdfs)[0, 0])
+        print(f"# [viterbi/{sweep}] compile+first {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        for _ in range(iters):
+            r = fn(x)
+        _ = float(r.objf.sum())
+        per = (time.time() - t0) / iters
+        print(f"# [viterbi/{sweep}] {per*1000:.1f} ms/batch "
+              f"({B/per:.1f} utts/s)", file=sys.stderr)
+        return r, per
+
+    rp, tp = run("pallas", "pallas", 3 if QUICK else 10)
+    rs, ts = run("scatter", "scatter", 1 if QUICK else 2)
+    assert np.array_equal(np.asarray(rp.objf), np.asarray(rs.objf))
+    assert np.array_equal(np.asarray(rp.pdfs), np.asarray(rs.pdfs))
+    ups = B / tp
+    print(json.dumps({
+        "metric": f"viterbi forced-alignment utts/sec/chip "
+                  f"(B={B},T={T},S<={ms},K<={mk},P={P}; Pallas "
+                  f"max-plus sweep; scatter sweep {B/ts:.1f} utts/s -> "
+                  f"{ts/tp:.1f}x, exact parity)",
+        "value": round(ups, 2),
+        "unit": "utts/sec",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     _require_live_backend()
+    if "--viterbi" in sys.argv:
+        return _bench_viterbi()
     if SEMIRING or XL:
         return _bench_semiring(xl=XL)
     rng = np.random.RandomState(0)

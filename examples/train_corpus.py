@@ -244,6 +244,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--bucket-step", type=int, default=25)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--grad-clip", type=float, default=5.0,
+                    help="global-norm gradient clip (0 disables)")
     ap.add_argument("--leaky", type=float, default=1e-5)
     ap.add_argument("--xent-regularize", type=float, default=0.0)
     ap.add_argument("--l2-regularize", type=float, default=0.0)
@@ -325,7 +327,12 @@ def main():
 
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, max_t, feat_dim)), train=False)
-    tx = optax.adam(args.lr)
+    # clip-then-adam, the Kaldi-recipe shape: chain gradients spike on
+    # hard minibatches early in training; unclipped adam at lr>=1e-3
+    # diverges to NaN at headline scale (measured round 3)
+    tx = optax.chain(optax.clip_by_global_norm(args.grad_clip),
+                     optax.adam(args.lr)) if args.grad_clip > 0 \
+        else optax.adam(args.lr)
     opt_state = tx.init(params)
     step0 = 0
     if args.ckpt and latest_step(args.ckpt) is not None:
@@ -367,6 +374,14 @@ def main():
         opt_state = jax.device_put(opt_state, rep)
         print(f"data parallel over {mesh.devices.size} devices")
 
+    # pipeline decomposition (reported with the steady-state line):
+    # "assemble" = pure host work (pad, graph batch, dispatch) in the
+    # producer thread; "transfer" = enqueueing the host->device copies
+    # (on a tunneled backend this includes the link itself); "wait" =
+    # consumer starvation, i.e. time the training loop blocked on the
+    # prefetch queue.  Host keeps the chip busy iff wait ~ 0.
+    pipe = {"assemble": 0.0, "transfer": 0.0, "wait": 0.0, "produced": 0}
+
     def assemble_batches(epoch):
         """Host-side batch assembly (padding, graph batching, engine
         dispatch, device transfer) — runs in the prefetcher's thread so
@@ -375,6 +390,7 @@ def main():
                                     epoch=epoch):
             if len(idx) < args.batch_size:
                 continue  # static shapes
+            t0 = time.time()
             t_pad = bucketer.padded_shape(lengths_all, idx)
             x, lens = pad_to_bucket(feats, idx, t_pad)
             num_batch = ChainGraphBatch(
@@ -388,13 +404,31 @@ def main():
                 den_batches[bkey],
                 impl="pallas" if tile_dtype else "auto")
             num_g = dispatch_arrays(num_batch)
+            t1 = time.time()
             x_j, lens_j = jnp.asarray(x), jnp.asarray(lens)
             if args.dp:
                 sh = NamedSharding(mesh, Pn("dp"))
                 x_j = jax.device_put(x_j, sh)
                 lens_j = jax.device_put(lens_j, sh)
                 num_g = jax.device_put(num_g, sh)
+            jax.block_until_ready(x_j)  # count the copy here, not in a step
+            t2 = time.time()
+            pipe["assemble"] += t1 - t0
+            pipe["transfer"] += t2 - t1
+            pipe["produced"] += 1
             yield x_j, lens_j, num_g, den_g, lens
+
+    def timed_consume(batches):
+        """Yield from the prefetcher, accounting consumer starvation."""
+        it = iter(batches)
+        while True:
+            t0 = time.time()
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+            pipe["wait"] += time.time() - t0
+            yield item
 
     def flat_graph_phones(g):
         """Recover the phone sequence from a flat-start numerator graph
@@ -494,7 +528,7 @@ def main():
         epoch += 1
         want_realign = False
         with prefetch(assemble_batches(epoch), depth=2) as batches:
-            for x_j, lens_j, num_g, den_g, lens in batches:
+            for x_j, lens_j, num_g, den_g, lens in timed_consume(batches):
                 if step >= args.steps:
                     break
                 if (args.realign_at and not realigned
@@ -540,12 +574,23 @@ def main():
     _ = float(loss)  # sync the last dispatched step before timing
     if steady_t0 is not None and utts_done > steady_utts0:
         dt = time.time() - steady_t0
+        n = max(1, pipe["produced"])
+        steps_n = max(1, step - step0)
+        print(f"pipeline: host assembly {pipe['assemble'] / n * 1e3:.1f} "
+              f"ms/batch, transfer {pipe['transfer'] / n * 1e3:.1f} "
+              f"ms/batch, consumer starvation {pipe['wait'] / steps_n * 1e3:.1f} "
+              f"ms/step over the whole run")
         print(f"steady-state: {(utts_done - steady_utts0) / dt:.1f} "
               f"utts/s, {(frames_done - steady_frames0) / dt:.0f} "
               f"frames/s over {step - step0 - args.warmup_steps} steps "
               f"(prefetch depth 2, host assembly overlapped)")
     print(f"done: {step - step0} steps in {time.time() - t_start:.1f}s; "
           f"final loss {float(loss):.4f}")
+    if not np.isfinite(float(loss)):
+        print("WARNING: final loss is not finite — training diverged. "
+              "Lower --lr (e.g. 3e-4), keep --grad-clip enabled, or "
+              "run with --diag-every 1 to find the failing step.",
+              file=sys.stderr)
     return float(loss)
 
 

@@ -77,6 +77,7 @@ def main():
                                  ("semiring", ["--semiring"], 1800),
                                  ("xl", ["--xl"], 2400),
                                  ("long", ["--long"], 2400),
+                                 ("viterbi", ["--viterbi"], 2400),
                                  ("s8k", ["--s8k"], 2400)):
         r = run([sys.executable, "bench.py"] + flags, timeout=timeout)
         report["stages"][f"bench_{mode}"] = r
