@@ -468,8 +468,12 @@ def main():
     if S8K:
         extra += "; beyond-VMEM graph, auto-fallback to XLA factorized"
     if LONG:
+        # report the mode the run ACTUALLY used: same s_pad / stream
+        # count the dispatch derives (pallas_fact auto selection)
         from pychain_tpu.ops.pallas_fact import select_stream_mode
-        mode = select_stream_mode(T, ((S + 127) // 128) * 128, B, 2, 3)
+        fa = batch_bf16._fact
+        n_streams = 3 if fa.xsrc_mode == "identity" else 4
+        mode = select_stream_mode(T, fa.s_pad, B, 2, n_streams)
         extra += f"; long-T bf16, stream_mode auto -> {mode}"
     print(json.dumps({
         "metric": f"den-graph fwd-bwd utts/sec/chip "

@@ -50,10 +50,8 @@ def _shape_ok(f, tok: bytes, rows: int, cols: int) -> None:
     decisions agree between the two decoders."""
     if rows < 0 or cols < 0:
         raise ValueError(f"negative matrix shape {rows}x{cols}")
-    pos = f.tell()
-    f.seek(0, 2)
-    rem = f.tell() - pos
-    f.seek(pos)
+    from ..graphs.fst import _remaining_bytes
+    rem = _remaining_bytes(f)
     n = rows * cols
     need = {b"FM": 4 * n, b"DM": 8 * n, b"CM2": 2 * n, b"CM3": n,
             b"CM": 8 * cols + n}[tok]

@@ -48,6 +48,18 @@ NO_STATE_ID = -1
 INFINITY = float("inf")
 
 
+def _remaining_bytes(f) -> int:
+    """Bytes from the current position to EOF (position preserved) —
+    the bound every corrupted-count guard checks before allocating
+    (mirrors the C++ readers' remaining_bytes, csrc/pychain_native.cc,
+    so Python/C++ accept/reject decisions agree)."""
+    pos = f.tell()
+    f.seek(0, 2)
+    rem = f.tell() - pos
+    f.seek(pos)
+    return rem
+
+
 def _skip_symbol_table(f) -> None:
     """Skip one serialized OpenFST SymbolTable (symbol-table.cc): magic,
     name string, available_key i64, size i64, then (string, i64 key)
@@ -225,10 +237,7 @@ class FST:
         # corrupted-count guards: counts beyond the remaining payload
         # reject BEFORE any allocation (same bounds as the C++ reader,
         # pychain_native.cc pc_fst_read, so accept/reject agree)
-        pos = f.tell()
-        f.seek(0, 2)
-        rem = f.tell() - pos
-        f.seek(pos)
+        rem = _remaining_bytes(f)
         if (start < -1 or num_states < 0 or num_arcs < 0
                 or num_arcs > rem // 16):
             raise ValueError("corrupt FST header counts")
@@ -295,10 +304,7 @@ class FST:
 
         if num_states <= 0:
             return FST()
-        pos0 = f.tell()
-        f.seek(0, 2)
-        rem = f.tell() - pos0
-        f.seek(pos0)
+        rem = _remaining_bytes(f)
         if num_states > rem // 20:
             raise ValueError("corrupt ConstFst header counts")
         state_dt = np.dtype([("final", "<f4"), ("pos", "<u4"),

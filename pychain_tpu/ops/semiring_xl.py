@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -72,9 +73,12 @@ def _ceil(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def fits_xl_budget(max_k: int, max_s: int) -> bool:
-    """Do one graph's two (S_pad, K_pad) f32 masks fit the VMEM plan?"""
-    return 2 * _ceil(max_s, 8) * _ceil(max_k, 128) * 4 <= XL_VMEM_BUDGET
+def fits_xl_budget(max_k: int, max_s: int, itemsize: int = 4) -> bool:
+    """Do one graph's two (S_pad, K_pad) masks of ``itemsize`` bytes
+    fit the VMEM plan?  (itemsize=4 for this engine's f32 masks; the
+    Pallas Viterbi sweep shares the budget with bf16 masks.)"""
+    return (2 * _ceil(max_s, 8) * _ceil(max_k, 128) * itemsize
+            <= XL_VMEM_BUDGET)
 
 
 @jax.tree_util.register_dataclass
@@ -343,6 +347,16 @@ def forward_backward_semiring_xl(x, lengths,
     (per-frame arbitrary scale, objf at each sequence's own length,
     -inf and zero posteriors for infeasible sequences)."""
     B, T, P = x.shape
+    # lengths > T would leave the kernels' final-frame taps unfired
+    # (uninitialized alpha(T_b) output); chain_function rejects this at
+    # the public entry — repeat the concrete-value check here since
+    # this engine is also exported directly
+    if not isinstance(lengths, jax.core.Tracer):
+        _l = np.asarray(lengths)
+        if _l.size and int(_l.max()) > T:
+            raise ValueError(
+                f"lengths (max {int(_l.max())}) exceed the padded "
+                f"frame axis T={T}")
     lengths = lengths.astype(jnp.int32)
     x = x.astype(jnp.float32)
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -43,16 +44,19 @@ DENSE_MAX = 1 << 28
 # (bounded by T * (|logp| + 30) after the emission clamp).
 VNEG = -1.0e30
 
-# The two per-graph (S_pad, K_pad) bf16 incidence masks must sit in
-# VMEM next to the streamed rows and carries (semiring_xl.py discipline;
-# bf16 is enough for {0,1} pickups and the VNEG dead-offset).
-VIT_VMEM_BUDGET = 60 * 1024 * 1024
-
-
 def fits_pallas_sweep(num_states: int, num_arcs: int) -> bool:
-    sp = (num_states + 7) // 8 * 8
-    kp = (num_arcs + 127) // 128 * 128
-    return 2 * sp * kp * 2 <= VIT_VMEM_BUDGET
+    """Do one graph's two (S_pad, K_pad) bf16 incidence masks fit the
+    shared XL VMEM plan?  (semiring_xl's budget with itemsize=2: bf16
+    is enough for {0,1} pickups and the VNEG dead-offset.)"""
+    from .semiring_xl import fits_xl_budget
+    return fits_xl_budget(num_arcs, num_states, itemsize=2)
+
+
+def _tpu_backend() -> bool:
+    """Pallas sweeps only pay off compiled on TPU; off-TPU they would
+    run in the interpreter, far slower than the XLA fallbacks (the
+    same gate loss.py's engine dispatch applies)."""
+    return jax.default_backend() == "tpu"
 
 
 class ViterbiResult(NamedTuple):
@@ -246,6 +250,16 @@ def viterbi_align(x, x_lengths, graphs,
     x = jnp.clip(x, -30.0, 30.0)                 # match chain_function
     B, T, P = x.shape
     S = g.num_states
+    # out-of-range lengths would read uninitialized state in the Pallas
+    # sweep (the final-frame tap never fires) and silently score the
+    # padded tail in the scan sweeps — reject when concrete, exactly as
+    # chain_function does (loss.py length validation)
+    if not isinstance(x_lengths, jax.core.Tracer):
+        _l = np.asarray(x_lengths)
+        if _l.size and int(_l.max()) > T:
+            raise ValueError(
+                f"x_lengths (max {int(_l.max())}) exceed the padded "
+                f"frame axis T={T}")
     lengths = jnp.asarray(x_lengths, jnp.int32)
 
     # arcs grouped by destination; broadcast shared graphs once
@@ -279,12 +293,17 @@ def viterbi_align(x, x_lengths, graphs,
         total = B * K * S
         if total <= TILE_BUDGET:
             sweep = "dense"            # single block, measured 14.8x
-        elif fits_pallas_sweep(S, K):
+        elif fits_pallas_sweep(S, K) and _tpu_backend():
             sweep = "pallas"           # VMEM-resident per-graph masks
         elif total <= DENSE_MAX:
             sweep = "dense"            # blockwise-tiled masks
         else:
             sweep = "scatter"
+    elif sweep == "pallas" and not fits_pallas_sweep(S, K):
+        raise ValueError(
+            f"sweep='pallas': the (S={S}, K={K}) incidence masks "
+            "exceed the VMEM budget — use sweep='auto' (blockwise "
+            "dense / scatter fallbacks) instead")
     dense = sweep == "dense"
     if dense:
         # build the masks from the UN-broadcast ids for shared graphs:

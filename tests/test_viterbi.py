@@ -286,14 +286,15 @@ def test_pallas_sweep_shared_batch_and_feasible_linear():
 
 def test_sweep_auto_dispatch_policy(monkeypatch):
     """auto picks: single-block dense within TILE_BUDGET, pallas
-    beyond it while the masks fit VMEM, blockwise dense past the
-    pallas budget, scatter past DENSE_MAX."""
+    beyond it while the masks fit VMEM AND the backend is TPU,
+    blockwise dense past the pallas budget, scatter past DENSE_MAX."""
     import pychain_tpu.ops.viterbi as vt
     calls = []
     real = vt._pallas_sweep
     monkeypatch.setattr(vt, "_pallas_sweep",
                         lambda *a, **k: (calls.append("pallas")
                                          or real(*a, **k)))
+    monkeypatch.setattr(vt, "_tpu_backend", lambda: True)
     rng = np.random.RandomState(3)
     B, T, P = 2, 5, 4
     graphs = [ChainGraph(random_fst(num_states=6, num_pdfs=P,
@@ -308,7 +309,40 @@ def test_sweep_auto_dispatch_policy(monkeypatch):
     monkeypatch.setattr(vt, "TILE_BUDGET", 1)   # force past dense
     viterbi_align(x, lengths, batch)
     assert calls == ["pallas"]
+    monkeypatch.setattr(vt, "_tpu_backend", lambda: False)
+    viterbi_align(x, lengths, batch)            # off-TPU: never the
+    assert calls == ["pallas"]                  # interpreted kernel
+    monkeypatch.setattr(vt, "_tpu_backend", lambda: True)
     monkeypatch.setattr(vt, "fits_pallas_sweep", lambda s, k: False)
     monkeypatch.setattr(vt, "DENSE_MAX", 1)     # force past blockwise
     r = viterbi_align(x, lengths, batch)        # scatter fallback
     assert calls == ["pallas"] and np.all(np.asarray(r.ok))
+    # forced pallas past the budget: clean error, never Mosaic
+    with pytest.raises(ValueError, match="VMEM budget"):
+        viterbi_align(x, lengths, batch, sweep="pallas")
+
+
+def test_viterbi_rejects_out_of_range_lengths():
+    rng = np.random.RandomState(5)
+    B, T, P = 2, 6, 4
+    graphs = [ChainGraph(random_fst(num_states=5, num_pdfs=P,
+                                    max_arcs_per_state=3, seed=b),
+                         log_domain=True) for b in range(B)]
+    batch = _batch(graphs)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    with pytest.raises(ValueError, match="exceed the padded"):
+        viterbi_align(x, np.array([6, 7], np.int32), batch)
+
+
+def test_semiring_xl_rejects_out_of_range_lengths():
+    from pychain_tpu.ops.semiring_xl import (forward_backward_semiring_xl,
+                                             semiring_xl_arrays)
+    rng = np.random.RandomState(5)
+    B, T, P = 2, 6, 4
+    graphs = [ChainGraph(random_fst(num_states=5, num_pdfs=P,
+                                    max_arcs_per_state=3, seed=b),
+                         log_domain=True) for b in range(B)]
+    g = semiring_xl_arrays(_batch(graphs))
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    with pytest.raises(ValueError, match="exceed the padded"):
+        forward_backward_semiring_xl(x, jnp.array([6, 7], jnp.int32), g)
