@@ -149,7 +149,7 @@ def _warn_gather_fallback(graphs):
         "pychain_tpu: cyclic log-domain graph batch (B={}, K={}, S={}) "
         "exceeds the fast-engine budgets or runs off-TPU; dispatching "
         "to the generic gather engine (typically 100-1000x slower). "
-        "Reduce B*K*S below the one-hot budget, keep 2*S_pad*K_pad*4 "
+        "Reduce B*K*S below the one-hot budget, keep 2*S_pad*K_pad*2 (bf16 masks) "
         "within the XL VMEM budget on a TPU backend, or force "
         "impl='semiring_xl'.".format(graphs.batch_size,
                                      graphs.num_transitions,

@@ -44,6 +44,18 @@ def test_fits_xl_budget():
     assert fits_xl_budget(3100, 1000)          # the target class
     assert fits_xl_budget(48000, 128)
     assert not fits_xl_budget(48000, 3000)     # denominator-scale: no
+    # bf16 masks double the eligible graph size vs f32 (S=2000, K=6000
+    # fits at itemsize 2 and would not at 4)
+    assert fits_xl_budget(6000, 2000)
+    assert not fits_xl_budget(6000, 2000, itemsize=4)
+
+
+def test_mask_dtype_tiers():
+    """f32 masks while they fit (fastest, measured), bf16 beyond."""
+    import jax.numpy as jnp
+    from pychain_tpu.ops.semiring_xl import _mask_dtype
+    assert _mask_dtype(1000, 3200) == jnp.float32    # the measured class
+    assert _mask_dtype(2000, 6016) == jnp.bfloat16   # only fits at bf16
 
 
 def test_forced_xl_matches_gather():
