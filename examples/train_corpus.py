@@ -258,6 +258,11 @@ def main():
                     help="steps excluded from the steady-state "
                          "throughput report (jit compilation)")
     ap.add_argument("--dp", action="store_true")
+    ap.add_argument("--device-corpus", action="store_true",
+                    help="stage the WHOLE corpus in HBM once (features "
+                         "+ linear numerator arrays); per step only a "
+                         "(B,) index vector crosses the host link — "
+                         "device-bound training for corpora that fit")
     ap.add_argument("--tile-dtype", type=str, default="",
                     help="bfloat16 for the Pallas fast denominator mode")
     ap.add_argument("--synthetic-graphs", choices=("random", "built"),
@@ -359,6 +364,17 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return loss, optax.apply_updates(params, updates), opt_state
 
+    @jax.jit
+    def train_step_staged(params, opt_state, idx, all_x, all_lens,
+                          all_nums, den_g):
+        # --device-corpus: the whole corpus lives in HBM; per step the
+        # only host->device traffic is the (B,) index vector, and the
+        # batch gathers fuse into the compiled step
+        x = jnp.take(all_x, idx, axis=0)
+        lens = jnp.take(all_lens, idx, axis=0)
+        num_g = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), all_nums)
+        return train_step(params, opt_state, x, lens, num_g, den_g)
+
     bucketer = LengthBucketer(
         BucketSpec.linear(step=args.bucket_step, max_t=max_t),
         shuffle=True)
@@ -382,6 +398,42 @@ def main():
     # prefetch queue.  Host keeps the chip busy iff wait ~ 0.
     pipe = {"assemble": 0.0, "transfer": 0.0, "wait": 0.0, "produced": 0}
 
+    # --device-corpus: corpora that fit HBM are staged ONCE (features,
+    # lengths, numerator arrays); per step only a (B,) index vector
+    # crosses host->device and the batch gathers fuse into the jitted
+    # step — the loop is device-bound even on a slow host link.
+    staged = None
+    if args.device_corpus:
+        if args.dp or args.realign_at:
+            raise ValueError("--device-corpus does not combine with "
+                             "--dp or --realign-at")
+        from pychain_tpu.ops.linear import LinearArrays
+        x_all, lens_all_np = pad_to_bucket(
+            feats, list(range(len(keys))), max_t)
+        all_batch = ChainGraphBatch(
+            nums, max_num_transitions=max_arcs,
+            max_num_states=max_states)
+        all_nums = dispatch_arrays(all_batch)
+        if not isinstance(all_nums, LinearArrays):
+            raise ValueError(
+                "--device-corpus requires linear numerator supervision "
+                "(aligned style); got "
+                f"{type(all_nums).__name__}")
+        den_batches[args.batch_size] = ChainGraphBatch(
+            den_graph, args.batch_size, tile_dtype=tile_dtype)
+        staged = {
+            "x": jnp.asarray(x_all),
+            "lens": jnp.asarray(lens_all_np),
+            "nums": all_nums,
+            "den": dispatch_arrays(den_batches[args.batch_size],
+                                   impl="pallas" if tile_dtype
+                                   else "auto"),
+        }
+        nbytes = sum(a.nbytes for a in
+                     jax.tree.leaves((staged["x"], staged["nums"])))
+        print(f"device corpus: {len(keys)} utts staged in HBM "
+              f"({nbytes / 1e6:.0f} MB)")
+
     def assemble_batches(epoch):
         """Host-side batch assembly (padding, graph batching, engine
         dispatch, device transfer) — runs in the prefetcher's thread so
@@ -390,6 +442,16 @@ def main():
                                     epoch=epoch):
             if len(idx) < args.batch_size:
                 continue  # static shapes
+            if staged is not None:
+                t0 = time.time()
+                lens = [lengths_all[int(i)] for i in idx]
+                idx_j = jnp.asarray(np.asarray(idx, np.int32))
+                pipe["assemble"] += time.time() - t0
+                pipe["produced"] += 1
+                # x_j slot carries the index vector; the step gathers
+                # the staged arrays on device
+                yield idx_j, None, None, staged["den"], lens
+                continue
             t0 = time.time()
             t_pad = bucketer.padded_shape(lengths_all, idx)
             x, lens = pad_to_bucket(feats, idx, t_pad)
@@ -537,8 +599,13 @@ def main():
                     # is closed — it reads nums/max_arcs concurrently
                     want_realign = True
                     break
-                loss, params, opt_state = train_step(
-                    params, opt_state, x_j, lens_j, num_g, den_g)
+                if staged is not None:
+                    loss, params, opt_state = train_step_staged(
+                        params, opt_state, x_j, staged["x"],
+                        staged["lens"], staged["nums"], den_g)
+                else:
+                    loss, params, opt_state = train_step(
+                        params, opt_state, x_j, lens_j, num_g, den_g)
                 step += 1
                 utts_done += x_j.shape[0]
                 frames_done += int(np.asarray(lens).sum())
@@ -555,8 +622,13 @@ def main():
                     params = constrain_semi_orthogonal(params)
                 if args.diag_every and (step % args.diag_every == 0
                                         or step == step0 + 1):
-                    out = apply_model(params, x_j, lens_j)
-                    _, aux = chain_function_with_aux(out, lens_j, den_g)
+                    if staged is not None:
+                        x_d = jnp.take(staged["x"], x_j, axis=0)
+                        l_d = jnp.take(staged["lens"], x_j, axis=0)
+                    else:
+                        x_d, l_d = x_j, lens_j
+                    out = apply_model(params, x_d, l_d)
+                    _, aux = chain_function_with_aux(out, l_d, den_g)
                     rep_ok = check_result(aux, lens)
                     print(f"step {step}: loss={float(loss):.4f} "
                           f"ok={rep_ok.all_ok} "

@@ -15,7 +15,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_train_corpus_smoke(tmp_path):
+def _run(tmp_path, *extra):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)   # force the CPU backend
     env["JAX_PLATFORMS"] = "cpu"
@@ -23,7 +23,7 @@ def test_train_corpus_smoke(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", "train_corpus.py"),
          "--steps", "3", "--batch-size", "8", "--corpus-utts", "16",
-         "--warmup-steps", "1", "--diag-every", "2"],
+         "--warmup-steps", "1", "--diag-every", "2", *extra],
         capture_output=True, text=True, timeout=900, env=env,
         cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
@@ -34,3 +34,13 @@ def test_train_corpus_smoke(tmp_path):
     assert m.group(1) not in ("nan", "inf"), out[-2000:]
     # the per-step diagnostic forward ran and every step was ok
     assert "ok=True" in out and "ok=False" not in out
+    return out
+
+
+def test_train_corpus_smoke(tmp_path):
+    _run(tmp_path)
+
+
+def test_train_corpus_device_corpus_smoke(tmp_path):
+    out = _run(tmp_path, "--device-corpus")
+    assert "staged in HBM" in out
