@@ -93,6 +93,22 @@ def main():
         print(f"[bench_{mode}] rc={r['rc']} {r['secs']}s "
               f"{line[-1] if line else ''}", file=sys.stderr)
 
+    # end-to-end recipe on chip: synthetic corpus -> staged HBM corpus
+    # -> jitted train steps -> steady-state + pipeline report; proves
+    # the integration surface every sweep, not just the kernels
+    r = run([sys.executable, "examples/train_corpus.py",
+             "--corpus-utts", "128", "--corpus-phones", "300",
+             "--corpus-min-t", "180", "--corpus-max-t", "200",
+             "--bucket-step", "50", "--batch-size", "64",
+             "--tile-dtype", "bfloat16", "--steps", "10",
+             "--warmup-steps", "3", "--diag-every", "5",
+             "--lr", "3e-4", "--device-corpus"], timeout=2400)
+    bad = ("ok=False" in r.get("stdout", "")
+           or "WARNING: final loss" in r.get("stderr", ""))
+    report["stages"]["recipe"] = r
+    ok &= r["rc"] == 0 and not bad
+    print(f"[recipe] rc={r['rc']} {r['secs']}s", file=sys.stderr)
+
     # pallas-inside-shard_map on real hardware (1-device mesh): every
     # sweep re-proves the kernels x distribution intersection the
     # virtual-CPU-mesh tests cannot (VERDICT r2 "what's weak" #4)
