@@ -334,10 +334,15 @@ def main():
                         jnp.zeros((1, max_t, feat_dim)), train=False)
     # clip-then-adam, the Kaldi-recipe shape: chain gradients spike on
     # hard minibatches early in training; unclipped adam at lr>=1e-3
-    # diverges to NaN at headline scale (measured round 3)
+    # diverges to NaN at headline scale (measured round 3).  The
+    # apply_if_finite wrapper is the reference's "abandon this
+    # minibatch" advice (chain-computation.cc:374) made real: a step
+    # whose gradients are non-finite is SKIPPED (params and optimizer
+    # state preserved) instead of poisoning the parameters.
     tx = optax.chain(optax.clip_by_global_norm(args.grad_clip),
                      optax.adam(args.lr)) if args.grad_clip > 0 \
         else optax.adam(args.lr)
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=25)
     opt_state = tx.init(params)
     step0 = 0
     if args.ckpt and latest_step(args.ckpt) is not None:
@@ -656,6 +661,11 @@ def main():
               f"utts/s, {(frames_done - steady_frames0) / dt:.0f} "
               f"frames/s over {step - step0 - args.warmup_steps} steps "
               f"(prefetch depth 2, host assembly overlapped)")
+    skipped = int(getattr(opt_state, "total_notfinite", 0))
+    if skipped:
+        print(f"skipped {skipped} non-finite update(s) "
+              "(params preserved — the reference's 'abandon this "
+              "minibatch' semantics)")
     print(f"done: {step - step0} steps in {time.time() - t_start:.1f}s; "
           f"final loss {float(loss):.4f}")
     if not np.isfinite(float(loss)):
