@@ -241,3 +241,33 @@ def test_jit_and_vmap_compatible():
     a = jitted(x, lengths, g)
     b = chain_function(x, lengths, g)
     np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["gather", "factorized"])
+def test_saturated_logits_stay_finite(impl):
+    """Value and gradient must be finite at the clamp extremes — the
+    regime an overfit acoustic model drives the engines into (round-3
+    soak: the NaNs there were optimization dynamics, and this pins
+    that the engines themselves are not the cause).  Probes: random
+    sign +-30 saturation, and one-hot saturation (one pdf at +30, the
+    rest at -30 per frame)."""
+    from pychain_tpu.loss import dispatch_arrays
+    from pychain_tpu.utils.testgraphs import denominator_fst
+
+    rng = np.random.RandomState(0)
+    den_fst, P = denominator_fst(num_phones=12, states_per_phone=2,
+                                 seed=0)
+    den = ChainGraph(den_fst)
+    B, T = 3, 20
+    lengths = jnp.array([20, 15, 9], jnp.int32)
+    g = dispatch_arrays(ChainGraphBatch(den, B), impl)
+
+    sat = np.sign(rng.randn(B, T, P)).astype(np.float32) * 30.0
+    onehot = np.full((B, T, P), -30.0, np.float32)
+    for b in range(B):
+        onehot[b, np.arange(T), rng.randint(0, P, size=T)] = 30.0
+    for x in (sat, onehot):
+        o, gr = jax.value_and_grad(chain_function)(jnp.asarray(x),
+                                                   lengths, g)
+        assert np.isfinite(float(o))
+        assert bool(jnp.isfinite(gr).all())
