@@ -236,8 +236,13 @@ def _dispatch_arrays(graphs, impl):
             raise ValueError("pallas impl requires a fully factorized "
                              "shared prob-domain graph")
         if not fits_vmem(fact):
-            # graph too large for VMEM-resident kernels: the XLA
-            # factorized engine (HBM-streamed weights) takes over
+            # graph too large for VMEM-resident kernels: the
+            # weight-streaming kernels take over when their resident
+            # set (everything but W1's tile stream) fits; else the XLA
+            # factorized engine (no VMEM ceiling at all)
+            from .ops.pallas_stream import fits_stream
+            if fits_stream(fact):
+                return dataclasses.replace(fact, engine="stream")
             return fact
         return dataclasses.replace(fact, engine="pallas")
     if fact is not None and (impl == "factorized" or impl == "auto"):
@@ -281,6 +286,11 @@ def _run(x, lengths, g, leaky_coefficient, debug=True) -> FwdBwdResult:
         if g.engine == "pallas":
             from .ops.pallas_fact import forward_backward_prob_pallas
             return forward_backward_prob_pallas(jnp.exp(x), lengths, g,
+                                                leaky_coefficient,
+                                                debug=debug)
+        if g.engine == "stream":
+            from .ops.pallas_stream import forward_backward_prob_stream
+            return forward_backward_prob_stream(jnp.exp(x), lengths, g,
                                                 leaky_coefficient,
                                                 debug=debug)
         return forward_backward_prob_fact(jnp.exp(x), lengths, g,
