@@ -188,7 +188,7 @@ def _resident_bytes(wks) -> int:
 
 
 def fits_stream(fa: FactorizedArrays, b_tile: int = 128,
-                itemsize: int = 2) -> bool:
+                itemsize: int = None) -> bool:
     """Can the streamed kernels run this graph?  Requires a fully
     factorized graph whose NON-W1 operands (W2, E matrices, W1's
     diag/dense strata) plus ~8 (s_pad, b_tile) f32 scratches plus the
@@ -197,6 +197,8 @@ def fits_stream(fa: FactorizedArrays, b_tile: int = 128,
     near-mirror resident sets, so either bounds the estimate."""
     if not supports(fa):
         return False
+    if itemsize is None:
+        itemsize = jnp.dtype(fa.w1.tiles.dtype).itemsize
     n_w1 = int(fa.w1.tiles.shape[0])
     if n_w1 == 0:
         return False          # nothing to stream: resident or XLA
@@ -591,7 +593,7 @@ def _bwd_stream(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
 def forward_backward_prob_stream(px, lengths, fa: FactorizedArrays,
                                  leaky_coefficient=1e-5,
                                  b_tile: int = 128,
-                                 chunk_tiles: int = CHUNK_TILES,
+                                 chunk_tiles: int = None,
                                  debug: bool = True) -> FwdBwdResult:
     """Weight-streaming fused fwd+bwd for beyond-VMEM factorized graphs.
 
@@ -603,6 +605,8 @@ def forward_backward_prob_stream(px, lengths, fa: FactorizedArrays,
     very large S together)."""
     from ..utils.diagnostics import get_verbose_level
     debug = debug or get_verbose_level() >= 1
+    if chunk_tiles is None:
+        chunk_tiles = CHUNK_TILES       # module-level: tunable at runtime
     if not supports(fa):
         raise ValueError("stream path requires a fully factorized graph")
     B, T, P = px.shape
