@@ -32,7 +32,8 @@ from pychain_tpu.utils.testgraphs import denominator_fst  # noqa: E402
 
 QUICK = "--quick" in sys.argv
 S8K = "--s8k" in sys.argv  # S~8000 scalability entry (beyond VMEM
-                           # residency; exercises the XLA fallback)
+                           # residency; exercises the weight-streaming
+                           # Pallas tier)
 FULL = "--full" in sys.argv  # full ChainLoss (den + linear numerators)
                              # value+grad — the end-to-end training number
 SEMIRING = "--semiring" in sys.argv  # arbitrary cyclic numerator batch
@@ -51,8 +52,8 @@ if "--gather" in sys.argv:
 elif "--f32" in sys.argv:
     IMPLS = ["factorized"]
 elif S8K or FULL or TRAIN:
-    IMPLS = ["pallas"]     # s8k: dispatch falls back to the XLA
-                           # factorized engine (fits_vmem) — the point
+    IMPLS = ["pallas"]     # s8k: dispatch tiers to the weight-streaming
+                           # Pallas engine (beyond fits_vmem) — the point
 else:
     IMPLS = ["factorized", "pallas"]  # parity engine + fast engine
 TILE_DTYPE = ("bfloat16" if ("--bf16" in sys.argv or S8K or FULL or TRAIN)
@@ -466,7 +467,9 @@ def main():
                        if k != headline_impl)
     extra = f"; other engines: {others} utts/s" if others else ""
     if S8K:
-        extra += "; beyond-VMEM graph, auto-fallback to XLA factorized"
+        from pychain_tpu.loss import dispatch_arrays as _da
+        eng = getattr(_da(batch_bf16, "pallas"), "engine", "?")
+        extra += f"; beyond-VMEM graph, engine tier -> {eng}"
     if LONG:
         # report the mode the run ACTUALLY used: same s_pad / stream
         # count the dispatch derives (pallas_fact auto selection)

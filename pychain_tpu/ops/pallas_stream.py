@@ -48,10 +48,12 @@ from .pallas_fact import (BF, VMEM_LIMIT, _WK, _interpret, _length_masks,
                           _end_flags_of, _objf_pallas, _package_result,
                           supports, STREAM_BUDGET)
 
-# tiles per streamed chunk: 64 x (128, 128) bf16 = 2 MiB per buffer —
-# large enough to hide DMA issue latency, small enough that the double
-# buffer stays negligible next to the carries
-CHUNK_TILES = 64
+# tiles per streamed chunk: 128 x (128, 128) bf16 = 4 MiB per buffer.
+# Measured on chip at the S=8000 bench graph (B=64 T=300, ms/batch):
+# 32 -> 67.8, 64 -> 60.2, 128 -> 57.2, 256 -> 59.5 — a shallow optimum
+# at 128: big enough to amortise per-step pipeline overhead, small
+# enough that the double buffer leaves VMEM for the carries.
+CHUNK_TILES = 128
 
 
 def _coalesce_rows(rows):
