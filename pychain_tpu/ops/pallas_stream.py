@@ -126,17 +126,26 @@ class _WKStream:
         if not self.chunks:
             self.chunks = [[]]
 
-        tiles = np.asarray(w.tiles)
-        reordered = np.zeros((self.n_chunks * chunk_tiles, 128, 128),
-                             tiles.dtype)
+        # The reorder permutation and per-chunk destination slots depend
+        # only on STATIC metadata (w.rows/w.cols tuples), so compute them
+        # on host; the padded stream array is then built with device ops
+        # so w.tiles may be a tracer (the graph pytree is routinely a jit
+        # argument — ChainLoss._jitted, bench.py's jitted grad_fn).
+        dst = np.empty(len(order), np.int32)
         oi = 0                   # walk the sorted order in chunk order
         for ci, chunk in enumerate(self.chunks):
             base = ci * chunk_tiles
             for c, rows, start in chunk:
                 for j in range(len(rows)):
-                    reordered[base + start + j] = tiles[order[oi]]
+                    dst[oi] = base + start + j
                     oi += 1
-        self.tiles = jnp.asarray(reordered, self.mm)
+        tiles = jnp.asarray(w.tiles, self.mm)
+        padded = jnp.zeros((self.n_chunks * chunk_tiles, 128, 128),
+                           self.mm)
+        if len(order):
+            src = jnp.asarray(np.asarray(order, np.int32))
+            padded = padded.at[jnp.asarray(dst)].set(tiles[src])
+        self.tiles = padded
 
     @property
     def n_resident(self) -> int:
@@ -190,17 +199,27 @@ def _resident_bytes(wks) -> int:
 
 
 def fits_stream(fa: FactorizedArrays, b_tile: int = 128,
-                itemsize: int = None) -> bool:
+                itemsize: int = None,
+                chunk_tiles: int = None) -> bool:
     """Can the streamed kernels run this graph?  Requires a fully
     factorized graph whose NON-W1 operands (W2, E matrices, W1's
     diag/dense strata) plus ~8 (s_pad, b_tile) f32 scratches plus the
     chunk double-buffers fit the VMEM plan, with a non-trivial W1 tile
     stream to hide them behind.  The fwd and bwd sweeps hold
-    near-mirror resident sets, so either bounds the estimate."""
+    near-mirror resident sets, so either bounds the estimate.
+
+    ``chunk_tiles`` must match what the kernel will actually allocate
+    (forward_backward_prob_stream re-checks against the same budget).
+    All operands (including the float32-stored one-hot E matrices) are
+    cast to W1's tile dtype by _WK/_WKStream before entering the
+    kernel, so W1's itemsize prices the WHOLE resident set correctly in
+    both bf16 fast mode and f32 parity mode."""
     if not supports(fa):
         return False
     if itemsize is None:
         itemsize = jnp.dtype(fa.w1.tiles.dtype).itemsize
+    if chunk_tiles is None:
+        chunk_tiles = CHUNK_TILES
     n_w1 = int(fa.w1.tiles.shape[0])
     if n_w1 == 0:
         return False          # nothing to stream: resident or XLA
@@ -218,7 +237,7 @@ def fits_stream(fa: FactorizedArrays, b_tile: int = 128,
                 else int(fa.w1.dense.shape[0]) * int(fa.w1.dense.shape[1]))
     est = max(_side(fwd_ws), _side(bwd_ws)) \
         + dense_w1 * 3 * itemsize \
-        + 2 * CHUNK_TILES * 128 * 128 * itemsize \
+        + 2 * chunk_tiles * 128 * 128 * itemsize \
         + 9 * fa.s_pad * b_tile * 4
     return est <= 80 * 1024 * 1024
 
@@ -592,6 +611,21 @@ def _bwd_stream(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
 # Fused fwd+bwd entry
 # ----------------------------------------------------------------------
 
+def auto_chunk_tiles(fa: FactorizedArrays, b_tile: int = 128) -> int:
+    """Chunk size adapted to the graph: ~1/8 of the streamed tiles
+    (the measured S=8000 optimum — 1024 tiles -> 128 — sits at that
+    ratio with a shallow basin, docs/DESIGN.md), as a power of two
+    clamped to [32, CHUNK_TILES], then halved until the double buffer
+    fits the same VMEM budget that admits the graph (so the estimate
+    that admitted it and the buffers the kernel allocates agree)."""
+    n = max(1, int(fa.w1.tiles.shape[0]))
+    c = 1 << max(5, min(int(CHUNK_TILES).bit_length() - 1,
+                        (n // 8).bit_length() - 1))
+    while c > 8 and not fits_stream(fa, b_tile, chunk_tiles=c):
+        c //= 2
+    return c
+
+
 def forward_backward_prob_stream(px, lengths, fa: FactorizedArrays,
                                  leaky_coefficient=1e-5,
                                  b_tile: int = 128,
@@ -607,10 +641,17 @@ def forward_backward_prob_stream(px, lengths, fa: FactorizedArrays,
     very large S together)."""
     from ..utils.diagnostics import get_verbose_level
     debug = debug or get_verbose_level() >= 1
-    if chunk_tiles is None:
-        chunk_tiles = CHUNK_TILES       # module-level: tunable at runtime
     if not supports(fa):
         raise ValueError("stream path requires a fully factorized graph")
+    if chunk_tiles is None:
+        chunk_tiles = auto_chunk_tiles(fa, b_tile)
+    else:
+        # a caller-supplied chunk must not silently invalidate the VMEM
+        # budget that admitted the graph at dispatch: clamp it down to
+        # the largest power-of-two fraction that still fits
+        while chunk_tiles > 8 and not fits_stream(
+                fa, b_tile, chunk_tiles=chunk_tiles):
+            chunk_tiles //= 2
     B, T, P = px.shape
     if B % b_tile:
         b_tile = min(b_tile, B)
