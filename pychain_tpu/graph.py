@@ -168,6 +168,14 @@ class ChainGraphBatch:
         self._semiring = None
         self.num_states = graph.num_states
         self.num_transitions = graph.num_transitions
+        if graph.log_domain:
+            # a SHARED log-domain graph (e.g. a denominator-scale graph
+            # trained in log domain) must reach the same engine ladder
+            # as a list batch of identical graphs — without this it
+            # could only ever dispatch to the gather engine
+            self._graphs = list([graph] * self.batch_size)
+            self._detect_log_engines(self._graphs, graph.num_transitions,
+                                     graph.num_states)
 
         # Factorized block-sparse form for the MXU fast path (prob domain).
         self._fact = None
@@ -198,6 +206,27 @@ class ChainGraphBatch:
         self._start = jnp.full((self.batch_size,), graph.start_state,
                                dtype=jnp.int32)
 
+    def _detect_log_engines(self, graphs, max_k, max_s):
+        """Eager log-domain engine detection, identical for list and
+        broadcast batches: linear closed-form, leveled, or the dense
+        one-hot semiring engine when the B*K*S one-hots fit the
+        budget.  (The XL semiring tiers are built lazily on first
+        dispatch — see loss._force_engine.)"""
+        from .ops.linear import is_linear_graph, linear_arrays
+        if all(is_linear_graph(g) for g in graphs):
+            self._linear = linear_arrays(graphs, max_k)
+            return
+        from .ops.leveled import is_leveled_graph, leveled_arrays
+        if all(is_leveled_graph(g) for g in graphs):
+            self._leveled = leveled_arrays(graphs)
+            return
+        # Arbitrary (cyclic/self-loop/DAG) supervision: dense one-hot
+        # MXU engine when the B*K*S one-hots fit the budget, else the
+        # generic gather engine.
+        from .ops.semiring import fits_budget, semiring_arrays
+        if fits_budget(self.batch_size, max_k, max_s):
+            self._semiring = semiring_arrays(graphs, max_k, max_s)
+
     # -- list constructor (graph.py:122-175) -----------------------------
     def _init_by_list(self, graphs, max_k, max_s):
         g0 = graphs[0]
@@ -217,21 +246,7 @@ class ChainGraphBatch:
         # when auto-detection selected a different one
         self._graphs = list(graphs)
         if self.log_domain:
-            from .ops.linear import is_linear_graph, linear_arrays
-            if all(is_linear_graph(g) for g in graphs):
-                self._linear = linear_arrays(graphs, max_k)
-            else:
-                from .ops.leveled import is_leveled_graph, leveled_arrays
-                if all(is_leveled_graph(g) for g in graphs):
-                    self._leveled = leveled_arrays(graphs)
-                else:
-                    # Arbitrary (cyclic/self-loop/DAG) supervision:
-                    # dense one-hot MXU engine when the B*K*S one-hots
-                    # fit the budget, else the generic gather engine.
-                    from .ops.semiring import fits_budget, semiring_arrays
-                    if fits_budget(self.batch_size, max_k, max_s):
-                        self._semiring = semiring_arrays(graphs, max_k,
-                                                         max_s)
+            self._detect_log_engines(graphs, max_k, max_s)
         self.num_states = max_s
         self.num_transitions = max_k
         B = self.batch_size

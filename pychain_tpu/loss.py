@@ -120,10 +120,13 @@ def _force_engine(graphs, kind):
             return built
         return None
     if kind == "semiring_xl":
-        from .ops.semiring_xl import fits_xl_budget, semiring_xl_arrays
+        from .ops.semiring_xl import (fits_xl_budget, fits_xl_stream,
+                                      semiring_xl_arrays)
         if (gl and gl[0].log_domain
-                and fits_xl_budget(graphs.num_transitions,
-                                   graphs.num_states)):
+                and (fits_xl_budget(graphs.num_transitions,
+                                    graphs.num_states)
+                     or fits_xl_stream(graphs.num_transitions,
+                                       graphs.num_states))):
             built = semiring_xl_arrays(graphs)
             graphs._semiring_xl = built
             return built
@@ -149,12 +152,19 @@ def _warn_gather_fallback(graphs):
         "pychain_tpu: cyclic log-domain graph batch (B={}, K={}, S={}) "
         "exceeds the fast-engine budgets or runs off-TPU; dispatching "
         "to the generic gather engine (typically 100-1000x slower). "
-        "Reduce B*K*S below the one-hot budget, keep 2*S_pad*K_pad*2 (bf16 masks) "
-        "within the XL VMEM budget on a TPU backend, or force "
+        "The XL semiring engine (resident masks, or arc-chunk streaming "
+        "for any K) serves graphs up to S_pad={} states on a TPU "
+        "backend; reduce the state count below that ceiling, or force "
         "impl='semiring_xl'.".format(graphs.batch_size,
                                      graphs.num_transitions,
-                                     graphs.num_states),
+                                     graphs.num_states,
+                                     _xl_max_s()),
         RuntimeWarning, stacklevel=4)
+
+
+def _xl_max_s():
+    from .ops.semiring_xl import XL_STREAM_MAX_S
+    return XL_STREAM_MAX_S
 
 
 def _dispatch_arrays(graphs, impl):
@@ -231,26 +241,43 @@ def _dispatch_arrays(graphs, impl):
         _warn_gather_fallback(graphs)
     fact = getattr(graphs, "_fact", None)
     if impl == "pallas":
-        from .ops.pallas_fact import fits_vmem, supports
+        from .ops.pallas_fact import supports
         if fact is None or not supports(fact):
             raise ValueError("pallas impl requires a fully factorized "
                              "shared prob-domain graph")
-        if not fits_vmem(fact):
-            # graph too large for VMEM-resident kernels: the
-            # weight-streaming kernels take over when their resident
-            # set (everything but W1's tile stream) fits; else the XLA
-            # factorized engine (no VMEM ceiling at all)
-            from .ops.pallas_stream import fits_stream
-            if fits_stream(fact):
-                return dataclasses.replace(fact, engine="stream")
-            return fact
-        return dataclasses.replace(fact, engine="pallas")
+        return _pallas_tier(fact)
     if fact is not None and (impl == "factorized" or impl == "auto"):
+        if impl == "auto" and jax.default_backend() == "tpu":
+            # TPU auto-upgrade, same policy as the semiring engine
+            # above: the fused kernels beat the XLA factorized scan in
+            # the graph's OWN tile dtype (f32 parity tiles measured
+            # 2738 vs 1264 utts/s at the headline size, objf rel diff
+            # 4.7e-06 — docs/ab/auto_ab_headline.json; bf16 stays opt-in
+            # via tile_dtype).  Off-TPU the kernels would run in the
+            # Pallas interpreter, so auto keeps the XLA scan there;
+            # impl="factorized" forces XLA everywhere.
+            from .ops.pallas_fact import supports
+            if supports(fact):
+                return _pallas_tier(fact)
         return fact
     if impl == "factorized":
         raise ValueError("factorized impl requires a shared prob-domain "
                          "ChainGraphBatch (broadcast denominator)")
     return graph_arrays(graphs)
+
+
+def _pallas_tier(fact):
+    """Fastest Pallas tier for a fully-factorized shared graph:
+    VMEM-resident kernels under fits_vmem, the weight-streaming kernels
+    beyond (their resident set is everything but W1's tile stream),
+    the XLA factorized engine as the no-VMEM-ceiling fallback."""
+    from .ops.pallas_fact import fits_vmem
+    if not fits_vmem(fact):
+        from .ops.pallas_stream import fits_stream
+        if fits_stream(fact):
+            return dataclasses.replace(fact, engine="stream")
+        return fact
+    return dataclasses.replace(fact, engine="pallas")
 
 
 def _zero_ct(x):

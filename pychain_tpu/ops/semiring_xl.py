@@ -66,6 +66,18 @@ _PREC = jax.lax.Precision.HIGHEST
 # are bit-identical to f32 masks at half the residency).
 XL_VMEM_BUDGET = 60 * 1024 * 1024
 
+# Beyond the resident budget, the STREAMED kernels re-expand the masks
+# per (frame, arc-chunk) from the id rows; the only VMEM residents are
+# one (S_pad, kc) mask pair + carries.  kc is sized so the pair stays
+# ~24 MB, leaving room for the streamed rows' double buffers.
+XL_STREAM_MASK_BUDGET = 24 * 1024 * 1024
+# Streamed-XL eligibility ceiling on the state axis: per-frame VPU work
+# is O(S*K), so past S ~ 40k the expansion+contraction would no longer
+# clear the gather engine (measured 41.9x at S=1000; the advantage
+# shrinks linearly in S).  8192 covers the denominator-scale class
+# (S~3000, K~50k) with >4x headroom before breakeven.
+XL_STREAM_MAX_S = 8192
+
 # Emission/posterior one-hot matmuls are chunked over the batch so the
 # transient (bc, K, P) selector stays modest.
 CHUNK_BUDGET = 1 << 26
@@ -81,6 +93,24 @@ def fits_xl_budget(max_k: int, max_s: int, itemsize: int = 2) -> bool:
     Viterbi sweep keep their masks bf16.)"""
     return (2 * _ceil(max_s, 8) * _ceil(max_k, 128) * itemsize
             <= XL_VMEM_BUDGET)
+
+
+def fits_xl_stream(max_k: int, max_s: int) -> bool:
+    """Can the STREAMED XL kernels serve this graph class?  The mask
+    chunk is re-expanded per frame, so K is unbounded (any chunk count
+    streams); the gate is the state axis, where per-frame O(S*K) VPU
+    work erodes the advantage over the gather engine."""
+    return _ceil(max_s, 8) <= XL_STREAM_MAX_S
+
+
+def xl_chunk_arcs(max_k: int, max_s: int) -> int:
+    """Arc-chunk width for the streamed kernels: the largest multiple
+    of 128 whose (S_pad, kc) mask pair fits the stream budget (clamped
+    to K_pad — a single chunk degenerates to the resident schedule with
+    per-frame expansion)."""
+    sp = _ceil(max_s, 8)
+    kc = XL_STREAM_MASK_BUDGET // (2 * sp * 4) // 128 * 128
+    return max(128, min(_ceil(max_k, 128), kc))
 
 
 @jax.tree_util.register_dataclass
@@ -109,7 +139,10 @@ class SemiringXLArrays:
 
 
 def semiring_xl_arrays(batch) -> SemiringXLArrays:
-    """Build XL arrays from a list-constructed ChainGraphBatch.
+    """Build XL arrays from a list- or broadcast-constructed
+    ChainGraphBatch (the broadcast ctor holds the shared graph's
+    tensors un-batched; they are tiled to (B, ...) here — the kernels
+    index src/dst per batch row).
 
     Pure device-side padding of tensors the batch already holds — no
     per-graph host loop, so it is cheap enough to build lazily on
@@ -117,16 +150,20 @@ def semiring_xl_arrays(batch) -> SemiringXLArrays:
     k, s = batch.num_transitions, batch.num_states
     kp, sp = _ceil(k, 128), _ceil(s, 8)
     pk, ps = kp - k, sp - s
-    pad_id = lambda a: jnp.pad(a, ((0, 0), (0, pk)), constant_values=sp)
+    B = batch.batch_size
+    bat = lambda a: (a if a.ndim == 2
+                     else jnp.broadcast_to(a[None], (B,) + a.shape))
+    pad_id = lambda a: jnp.pad(bat(a), ((0, 0), (0, pk)),
+                               constant_values=sp)
     return SemiringXLArrays(
         src=pad_id(batch._fwd_src),
         dst=pad_id(batch._fwd_dst),
-        pdf=jnp.pad(batch._fwd_pdf, ((0, 0), (0, pk))),
-        logp=jnp.pad(batch._fwd_prob, ((0, 0), (0, pk)),
+        pdf=jnp.pad(bat(batch._fwd_pdf), ((0, 0), (0, pk))),
+        logp=jnp.pad(bat(batch._fwd_prob), ((0, 0), (0, pk)),
                      constant_values=NEG_INF),
-        initial=jnp.pad(batch._initial, ((0, 0), (0, ps)),
+        initial=jnp.pad(bat(batch._initial), ((0, 0), (0, ps)),
                         constant_values=NEG_INF),
-        final=jnp.pad(batch._final, ((0, 0), (0, ps)),
+        final=jnp.pad(bat(batch._final), ((0, 0), (0, ps)),
                       constant_values=NEG_INF),
     )
 
@@ -352,6 +389,203 @@ def _bwd_pallas(g: SemiringXLArrays, warc, asel, rows, rf_col):
 
 
 # ----------------------------------------------------------------------
+# Streamed variant: arc-chunked masks (beyond the resident VMEM budget)
+# ----------------------------------------------------------------------
+#
+# Grid (B, T, G): chunk g covers arcs [g*kc, (g+1)*kc).  The (S_pad, kc)
+# mask pair is RE-EXPANDED from the streamed id rows at every step —
+# per frame that doubles the VPU element ops vs the resident kernels
+# (expand ~= contract), but removes the VMEM ceiling on K entirely:
+# the denominator-scale log-domain class (S~3000, K~50k, masks ~600 MB)
+# the reference serves with per-arc CUDA threads
+# (chain-log-domain-kernels.cu:86-235) runs here instead of falling
+# ~100-1000x to the gather engine.  Numerics are IDENTICAL to the
+# resident kernels: the chunk accumulator adds the same products in the
+# same arc order, and chunk boundaries only split the k-reduction.
+
+
+def _fwd_kernel_stream(lens_ref, src_ref, dst_ref, n0_ref, warc_ref,
+                       asel_out, raw_out, alast_out, ohs, ohd, nc, acc):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    g = pl.program_id(2)
+    ng = pl.num_programs(2)
+    sp, kc = ohs.shape
+
+    @pl.when((t == 0) & (g == 0))
+    def _():
+        nc[:] = n0_ref[0]
+
+    @pl.when(g == 0)
+    def _():
+        acc[:] = jnp.zeros(acc.shape, jnp.float32)
+
+    _expand_onehots(src_ref[0], dst_ref[0], sp, kc, ohs, ohd)
+    w = warc_ref[0, 0]                                       # (1, kc)
+    asel = jnp.sum(ohs[:].astype(jnp.float32) * nc[:],
+                   axis=0, keepdims=True)                    # (1, kc)
+    contrib = asel * w
+    acc[:] += jnp.sum(ohd[:].astype(jnp.float32) * contrib,
+                      axis=1, keepdims=True)                 # (S, 1)
+    asel_out[0, 0] = asel
+
+    @pl.when(g == ng - 1)
+    def _():
+        a_lin = acc[:]
+        raw = jnp.sum(a_lin, axis=0, keepdims=True)          # (1, 1)
+        n_new = a_lin * (1.0 / jnp.maximum(raw, TINY))
+        nc[:] = n_new
+        raw_out[0, 0] = jnp.broadcast_to(raw, raw_out.shape[2:])
+
+        @pl.when(t + 1 == lens_ref[b])
+        def _():
+            alast_out[0] = n_new
+
+
+def _fwd_pallas_stream(g: SemiringXLArrays, warc, n0_col, lengths, kc):
+    B, T, kp = warc.shape
+    sp = g.num_states
+    G = kp // kc
+    col = pl.BlockSpec((1, sp, 1), lambda b, t, gi: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    ids = pl.BlockSpec((1, 1, kc), lambda b, t, gi: (b, 0, gi),
+                       memory_space=pltpu.VMEM)
+    chunk = pl.BlockSpec((1, 1, 1, kc), lambda b, t, gi: (b, t, 0, gi),
+                         memory_space=pltpu.VMEM)
+    asel, raw, alast = pl.pallas_call(
+        _fwd_kernel_stream,
+        grid=(B, T, G),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # lengths
+            ids, ids,                                        # src, dst
+            col,                                             # n0
+            chunk,                                           # warc
+        ],
+        out_specs=[
+            chunk,                                           # asel
+            pl.BlockSpec((1, 1, 1, 128), lambda b, t, gi: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),           # raw sums
+            pl.BlockSpec((1, sp, 1), lambda b, t, gi: (b, 0, 0),
+                         memory_space=pltpu.VMEM),           # alpha(T_b)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, 1, kp), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, sp, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((sp, kc), jnp.float32),
+                        pltpu.VMEM((sp, kc), jnp.float32),
+                        pltpu.VMEM((sp, 1), jnp.float32),
+                        pltpu.VMEM((sp, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 3,
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(lengths, g.src[:, None, :], g.dst[:, None, :], n0_col,
+      warc[:, :, None, :])
+    return asel[:, :, 0, :], raw[:, :, 0, 0], alast[:, :, 0]
+
+
+def _bwd_kernel_stream(src_ref, dst_ref, rf_ref, warc_ref, asel_ref,
+                       rows_ref, occ_out, ab_out, ohs, ohd, rc, mc,
+                       reff, acc):
+    gi = pl.program_id(1)
+    g = pl.program_id(2)
+    ng = pl.num_programs(2)
+    sp, kc = ohs.shape
+
+    @pl.when((gi == 0) & (g == 0))
+    def _():
+        rc[:] = jnp.zeros(rc.shape, jnp.float32)
+        mc[:] = jnp.zeros(mc.shape, jnp.float32)
+
+    row = rows_ref[0, 0]                                     # (1, 128)
+    inj = row[0:1, 0:1]
+    inj_not = row[0:1, 1:2]
+    c_row = row[0:1, 2:3]
+    c_m_s = row[0:1, 3:4]
+    mf = row[0:1, 4:5]
+    m_eff = mc[0:1, 0:1] * inj_not + mf * inj                # (1, 1)
+
+    @pl.when(g == 0)
+    def _():
+        # frame prologue: beta' injection into a scratch that persists
+        # across the chunk steps; zero the b_lin accumulator and the
+        # alpha*beta partial (mc lane 1)
+        reff[:] = rc[:] * inj_not + rf_ref[0] * inj          # (S, 1)
+        acc[:] = jnp.zeros(acc.shape, jnp.float32)
+        mc[0:1, 1:2] = jnp.zeros((1, 1), jnp.float32)
+
+    _expand_onehots(src_ref[0], dst_ref[0], sp, kc, ohs, ohd)
+    w = warc_ref[0, 0]                                       # (1, kc)
+    bsel = jnp.sum(ohd[:].astype(jnp.float32) * reff[:],
+                   axis=0, keepdims=True)                    # (1, kc)
+    vf = w * bsel
+    acc[:] += jnp.sum(ohs[:].astype(jnp.float32) * vf,
+                      axis=1, keepdims=True)                 # (S, 1)
+
+    e = jnp.exp(jnp.minimum(m_eff + c_row, EXP_CLAMP))       # (1, 1)
+    occ = asel_ref[0, 0] * vf * e                            # (1, kc)
+    occ_out[0, 0] = occ
+    mc[0:1, 1:2] += jnp.sum(occ, axis=1, keepdims=True)
+
+    @pl.when(g == ng - 1)
+    def _():
+        b_lin = acc[:]
+        ab_out[0, 0] = jnp.broadcast_to(mc[0:1, 1:2], ab_out.shape[2:])
+        m = jnp.max(b_lin, axis=0, keepdims=True)            # (1, 1)
+        rc[:] = b_lin * (1.0 / jnp.maximum(m, TINY))
+        mc[0:1, 0:1] = m_eff + c_m_s + jnp.log(jnp.maximum(m, TINY))
+
+
+def _bwd_pallas_stream(g: SemiringXLArrays, warc, asel, rows, rf_col, kc):
+    B, T, kp = warc.shape
+    sp = g.num_states
+    G = kp // kc
+    rev_chunk = pl.BlockSpec((1, 1, 1, kc),
+                             lambda b, t, gi: (b, T - 1 - t, 0, gi),
+                             memory_space=pltpu.VMEM)
+    ids = pl.BlockSpec((1, 1, kc), lambda b, t, gi: (b, 0, gi),
+                       memory_space=pltpu.VMEM)
+    occ, ab = pl.pallas_call(
+        _bwd_kernel_stream,
+        grid=(B, T, G),
+        in_specs=[
+            ids, ids,                                        # src, dst
+            pl.BlockSpec((1, sp, 1), lambda b, t, gi: (b, 0, 0),
+                         memory_space=pltpu.VMEM),           # rf
+            rev_chunk,                                       # warc
+            rev_chunk,                                       # asel
+            pl.BlockSpec((1, 1, 1, 128),
+                         lambda b, t, gi: (b, T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),           # scalar rows
+        ],
+        out_specs=[
+            rev_chunk,                                       # occ
+            pl.BlockSpec((1, 1, 1, 128),
+                         lambda b, t, gi: (b, T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),           # a*b
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, 1, kp), jnp.float32),   # occ
+            jax.ShapeDtypeStruct((B, T, 1, 128), jnp.float32),  # a*b
+        ],
+        scratch_shapes=[pltpu.VMEM((sp, kc), jnp.float32),
+                        pltpu.VMEM((sp, kc), jnp.float32),
+                        pltpu.VMEM((sp, 1), jnp.float32),
+                        pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.VMEM((sp, 1), jnp.float32),
+                        pltpu.VMEM((sp, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 3,
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(g.src[:, None, :], g.dst[:, None, :], rf_col,
+      warc[:, :, None, :], asel[:, :, None, :], rows[:, :, None, :])
+    return occ[:, :, 0, :], ab[:, :, 0, 0]
+
+
+# ----------------------------------------------------------------------
 # Full fused fwd+bwd
 # ----------------------------------------------------------------------
 
@@ -360,7 +594,12 @@ def forward_backward_semiring_xl(x, lengths,
     """Fused log-domain fwd+bwd for XL cyclic graph batches.  Same f32
     semantics as forward_backward_semiring / the gather log engine
     (per-frame arbitrary scale, objf at each sequence's own length,
-    -inf and zero posteriors for infeasible sequences)."""
+    -inf and zero posteriors for infeasible sequences).
+
+    Engine tiering is internal: graphs whose (S_pad, K_pad) mask pair
+    fits the resident VMEM budget run the resident kernels (masks
+    expanded once per sweep); larger graphs run the STREAMED kernels
+    (masks re-expanded per arc-chunk per frame — no ceiling on K)."""
     B, T, P = x.shape
     # lengths > T would leave the kernels' final-frame taps unfired
     # (uninitialized alpha(T_b) output); chain_function rejects this at
@@ -375,6 +614,24 @@ def forward_backward_semiring_xl(x, lengths,
     lengths = lengths.astype(jnp.int32)
     x = x.astype(jnp.float32)
 
+    # engine tier: resident masks when they fit, arc-chunk streaming
+    # beyond (kc sized from the stream mask budget; the K axis is
+    # padded to a chunk multiple with inert arcs: ids=s_pad -> all-zero
+    # mask columns, weight exp(-inf)=0)
+    sp, kp = g.num_states, g.k_pad
+    streamed = not fits_xl_budget(kp, sp, itemsize=2)
+    kc = xl_chunk_arcs(kp, sp)
+    if streamed and kp % kc:
+        pad = kc - kp % kc
+        g = dataclasses.replace(
+            g,
+            src=jnp.pad(g.src, ((0, 0), (0, pad)), constant_values=sp),
+            dst=jnp.pad(g.dst, ((0, 0), (0, pad)), constant_values=sp),
+            pdf=jnp.pad(g.pdf, ((0, 0), (0, pad))),
+            logp=jnp.pad(g.logp, ((0, 0), (0, pad)),
+                         constant_values=NEG_INF),
+        )
+
     # hoisted arc weights, max-shifted per (sequence, frame)
     em = emissions_chunked(x, g.pdf)                         # (B, T, K)
     arc = g.logp[:, None, :] + em
@@ -388,7 +645,11 @@ def forward_backward_semiring_xl(x, lengths,
     lz0 = jnp.where(z0 > 0, jnp.log(jnp.maximum(z0, TINY)), 0.0)
     n0_col = (ei / jnp.maximum(z0, TINY)[:, None])[:, :, None]
 
-    asel, raw, n_last = _fwd_pallas(g, warc, n0_col, lengths)
+    if streamed:
+        asel, raw, n_last = _fwd_pallas_stream(g, warc, n0_col, lengths,
+                                               kc)
+    else:
+        asel, raw, n_last = _fwd_pallas(g, warc, n0_col, lengths)
 
     # log alpha-sums recovered host-side; -inf marks dead frames
     s_ys = jnp.where(raw > 0,
@@ -425,7 +686,11 @@ def forward_backward_semiring_xl(x, lengths,
                       jnp.broadcast_to(mf[:, None], (B, T))], axis=2)
     rows = jnp.pad(rows, ((0, 0), (0, 0), (0, 128 - rows.shape[2])))
 
-    occ, alpha_beta = _bwd_pallas(g, warc, asel, rows, rf_col)
+    if streamed:
+        occ, alpha_beta = _bwd_pallas_stream(g, warc, asel, rows, rf_col,
+                                             kc)
+    else:
+        occ, alpha_beta = _bwd_pallas(g, warc, asel, rows, rf_col)
 
     # Deterministic gamma: chunked one-hot contraction arcs -> pdfs.
     gamma = gamma_chunked(occ, g.pdf, P)                     # (B, T, P)

@@ -221,3 +221,34 @@ def test_parity_xl_semiring_log_domain():
     assert abs(float(objf) - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
     np.testing.assert_allclose(np.asarray(res.gamma), ref_grad,
                                rtol=2e-3, atol=2e-5)
+
+
+def test_parity_streamed_xl_semiring_log_domain(monkeypatch):
+    """STREAMED XL tier (arc-chunk masks, round 4) vs the reference
+    log-domain CPU engine: the beyond-resident-budget class the
+    reference serves with per-arc CUDA threads
+    (chain-log-domain-kernels.cu:86-235).  The resident budget is
+    killed so the same graphs run through the streamed kernels with
+    multiple arc chunks."""
+    import pychain_tpu.ops.semiring_xl as semiring_xl
+    monkeypatch.setattr(semiring_xl, "XL_VMEM_BUDGET", 1)
+    monkeypatch.setattr(semiring_xl, "XL_STREAM_MASK_BUDGET", 1)
+    rng = np.random.RandomState(14)
+    B, T, P = 3, 10, 7
+    graphs = [ChainGraph(random_fst(num_states=40 + b, num_pdfs=P,
+                                    max_arcs_per_state=5,
+                                    seed=300 + b), log_domain=True)
+              for b in range(B)]
+    lengths = np.array([10, 7, 4], np.int32)
+    x = rng.randn(B, T, P).astype(np.float32)
+    batch = ChainGraphBatch(
+        graphs, max_num_transitions=max(g.num_transitions for g in graphs),
+        max_num_states=max(g.num_states for g in graphs))
+    assert batch.num_transitions > 128, "must exercise multiple chunks"
+
+    ref_objf, ref_grad, _ = _ref_forward_backward(batch, x, lengths)
+    objf, res = chain_function_with_aux(
+        jnp.asarray(x), jnp.asarray(lengths), batch, impl="semiring_xl")
+    assert abs(float(objf) - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
+    np.testing.assert_allclose(np.asarray(res.gamma), ref_grad,
+                               rtol=2e-3, atol=2e-5)

@@ -128,6 +128,7 @@ def test_auto_fallback_warns_once(monkeypatch):
     import pychain_tpu.ops.semiring as sr
     monkeypatch.setattr(sr, "ONEHOT_BUDGET", 1)         # kill dense
     monkeypatch.setattr(semiring_xl, "XL_VMEM_BUDGET", 1)  # kill XL
+    monkeypatch.setattr(semiring_xl, "XL_STREAM_MAX_S", 0)  # + stream
     monkeypatch.setattr(loss_mod, "_gather_fallback_warned", False)
     batch = _cyclic_batch()
     assert batch._semiring is None
@@ -143,6 +144,7 @@ def test_auto_fallback_warns_once(monkeypatch):
 
 def test_forced_xl_rejects_over_budget(monkeypatch):
     monkeypatch.setattr(semiring_xl, "XL_VMEM_BUDGET", 1)
+    monkeypatch.setattr(semiring_xl, "XL_STREAM_MAX_S", 0)
     batch = _cyclic_batch()
     with pytest.raises(ValueError, match="semiring_xl"):
         dispatch_arrays(batch, "semiring_xl")
@@ -172,6 +174,107 @@ def test_chunked_contractions_match_direct(monkeypatch):
                                rtol=1e-5, atol=1e-6)
 
 
+def _bigger_cyclic_batch(B=3, P=6, seed=21, ns=40, arcs=5):
+    """K > 128 per graph so the streamed kernels get multiple chunks at
+    kc=128."""
+    graphs = [ChainGraph(random_fst(num_states=ns + b, num_pdfs=P,
+                                    max_arcs_per_state=arcs,
+                                    seed=seed * 100 + b), log_domain=True)
+              for b in range(B)]
+    return ChainGraphBatch(
+        graphs, max_num_transitions=max(g.num_transitions for g in graphs),
+        max_num_states=max(g.num_states for g in graphs))
+
+
+def test_fits_xl_stream():
+    from pychain_tpu.ops.semiring_xl import fits_xl_stream, xl_chunk_arcs
+    # the denominator-scale log-domain class the resident budget rejects
+    assert not fits_xl_budget(49500, 3000)
+    assert fits_xl_stream(49500, 3000)
+    assert not fits_xl_stream(49500, 100000)
+    kc = xl_chunk_arcs(49664, 3000)
+    assert kc % 128 == 0 and kc >= 128
+    # chunk masks fit the stream budget
+    assert 2 * 3000 * kc * 4 <= semiring_xl.XL_STREAM_MASK_BUDGET
+
+
+def test_streamed_xl_matches_gather(monkeypatch):
+    """Force the streamed tier (resident budget killed, kc=128 ->
+    multiple chunks) and check full parity vs the gather engine:
+    objf, gamma, invariants, per-sequence lengths."""
+    monkeypatch.setattr(semiring_xl, "XL_VMEM_BUDGET", 1)
+    monkeypatch.setattr(semiring_xl, "XL_STREAM_MASK_BUDGET", 1)
+    rng = np.random.RandomState(5)
+    B, T, P = 3, 7, 6
+    batch = _bigger_cyclic_batch(B, P)
+    assert batch.num_transitions > 128, "must exercise multiple chunks"
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.array([7, 5, 2], np.int32)
+
+    _, rg = chain_function_with_aux(x, lengths, batch, impl="gather")
+    _, rx = chain_function_with_aux(x, lengths, batch, impl="semiring_xl")
+    np.testing.assert_allclose(np.asarray(rx.objf), np.asarray(rg.objf),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rx.gamma), np.asarray(rg.gamma),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rx.gamma_sum),
+                               np.asarray(rg.gamma_sum),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rx.alpha_beta),
+                               np.asarray(rx.gamma_sum), rtol=1e-5)
+    assert np.all(np.asarray(rx.ok))
+
+
+def test_streamed_xl_remainder_padding(monkeypatch):
+    """kc that does NOT divide K_pad: the entry pads the arc axis with
+    inert arcs; results must match the resident kernels exactly."""
+    rng = np.random.RandomState(6)
+    B, T, P = 2, 6, 5
+    batch = _bigger_cyclic_batch(B, P, seed=31)
+    kp = (batch.num_transitions + 127) // 128 * 128
+    assert kp % 256 != 0 or kp > 256, "fixture should leave a remainder"
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.array([6, 4], np.int32)
+
+    _, r_res = chain_function_with_aux(x, lengths, batch,
+                                       impl="semiring_xl")
+    monkeypatch.setattr(semiring_xl, "XL_VMEM_BUDGET", 1)
+    monkeypatch.setattr(semiring_xl, "xl_chunk_arcs", lambda k, s: 256)
+    _, r_str = chain_function_with_aux(x, lengths, batch,
+                                       impl="semiring_xl")
+    np.testing.assert_allclose(np.asarray(r_str.objf),
+                               np.asarray(r_res.objf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_str.gamma),
+                               np.asarray(r_res.gamma),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_streamed_xl_gradient(monkeypatch):
+    monkeypatch.setattr(semiring_xl, "XL_VMEM_BUDGET", 1)
+    monkeypatch.setattr(semiring_xl, "XL_STREAM_MASK_BUDGET", 1)
+    rng = np.random.RandomState(7)
+    B, T, P = 2, 5, 5
+    batch = _bigger_cyclic_batch(B, P, seed=41)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.array([5, 3], np.int32)
+    gg = jax.grad(lambda v: chain_function(v, lengths, batch,
+                                           impl="gather"))(x)
+    gx = jax.grad(lambda v: chain_function(v, lengths, batch,
+                                           impl="semiring_xl"))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gg),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_auto_dispatch_takes_streamed_xl(monkeypatch):
+    """Beyond the resident budget but within the stream ceiling, a
+    forced semiring_xl dispatch still builds (the class that used to
+    fall to gather)."""
+    monkeypatch.setattr(semiring_xl, "XL_VMEM_BUDGET", 1)
+    batch = _bigger_cyclic_batch()
+    g = dispatch_arrays(batch, "semiring_xl")
+    assert isinstance(g, SemiringXLArrays)
+
+
 def test_xl_batch_reorder_permutes_engine():
     """reorder() must permute the lazily-built XL arrays too, or a
     forced dispatch after reorder pairs graphs with wrong sequences."""
@@ -187,3 +290,59 @@ def test_xl_batch_reorder_permutes_engine():
     _, rg = chain_function_with_aux(x, lengths, batch, impl="gather")
     np.testing.assert_allclose(np.asarray(rx.objf), np.asarray(rg.objf),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_shared_log_domain_broadcast_reaches_xl():
+    """A BROADCAST-built log-domain batch (shared graph, e.g. a
+    denominator-scale graph trained in log domain) must reach the XL
+    engine — the broadcast ctor used to strand every shared log-domain
+    graph on the gather engine (round-4 fix).  Parity vs gather on the
+    same batch, plus the streamed tier under a killed resident
+    budget."""
+    rng = np.random.RandomState(9)
+    B, T, P = 3, 6, 6
+    shared = ChainGraph(random_fst(num_states=9, num_pdfs=P, seed=77),
+                        log_domain=True)
+    batch = ChainGraphBatch(shared, B)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.array([6, 4, 6], np.int32)
+
+    g = dispatch_arrays(batch, "semiring_xl")
+    assert isinstance(g, SemiringXLArrays)
+    assert g.src.shape[0] == B                  # tiled to (B, K_pad)
+    _, rx = chain_function_with_aux(x, lengths, batch, impl="semiring_xl")
+    _, rg = chain_function_with_aux(x, lengths, batch, impl="gather")
+    np.testing.assert_allclose(np.asarray(rx.objf), np.asarray(rg.objf),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rx.gamma), np.asarray(rg.gamma),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_shared_log_domain_broadcast_streamed(monkeypatch):
+    monkeypatch.setattr(semiring_xl, "XL_VMEM_BUDGET", 1)
+    monkeypatch.setattr(semiring_xl, "XL_STREAM_MASK_BUDGET", 1)
+    rng = np.random.RandomState(10)
+    B, T, P = 2, 5, 5
+    shared = ChainGraph(random_fst(num_states=8, num_pdfs=P, seed=78),
+                        log_domain=True)
+    batch = ChainGraphBatch(shared, B)
+    x = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lengths = np.array([5, 3], np.int32)
+    _, rx = chain_function_with_aux(x, lengths, batch, impl="semiring_xl")
+    _, rg = chain_function_with_aux(x, lengths, batch, impl="gather")
+    np.testing.assert_allclose(np.asarray(rx.objf), np.asarray(rg.objf),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_shared_log_domain_broadcast_dense_engines():
+    """The broadcast ctor now runs the same engine detection as the
+    list ctor: a shared LINEAR graph builds the closed-form arrays, a
+    small shared cyclic graph builds the dense semiring engine."""
+    from pychain_tpu.utils.testgraphs import linear_fst
+    lin = ChainGraph(linear_fst([1, 2, 3]), log_domain=True)
+    b_lin = ChainGraphBatch(lin, 3)
+    assert b_lin._linear is not None
+    cyc = ChainGraph(random_fst(num_states=5, num_pdfs=4, seed=79),
+                     log_domain=True)
+    b_cyc = ChainGraphBatch(cyc, 3)
+    assert b_cyc._semiring is not None
