@@ -41,6 +41,12 @@ SEMIRING = "--semiring" in sys.argv  # arbitrary cyclic numerator batch
 XL = "--xl" in sys.argv  # XL cyclic numerator batch (S~1000, K~3100)
                          # beyond the dense one-hot budget: the XL
                          # semiring kernels, A/B'd against gather
+XLSTREAM = "--xlstream" in sys.argv  # denominator-scale LOG-DOMAIN
+                                     # batch (S~3000, K~50k — masks
+                                     # ~600 MB, far beyond the resident
+                                     # XL budget): the arc-chunk
+                                     # STREAMED XL kernels, A/B'd
+                                     # against gather
 LONG = "--long" in sys.argv  # BASELINE config 5: long utterances
                              # (T=2500, bf16), stream_mode="auto"; add
                              # --big for B=128 (auto -> lean streams)
@@ -236,42 +242,68 @@ def _reference_ups():
         return json.load(f).get("reference_cpu", {}).get("utts_per_sec")
 
 
-def _bench_semiring(xl=False):
+def _bench_semiring(xl=False, xlstream=False):
     """Arbitrary cyclic numerator graphs (the class the reference's
     log-domain CUDA kernels serve): B random ergodic graphs, value+grad
     through impl='auto' (select-free Pallas kernels on TPU, XLA scan
     elsewhere).  With xl=True, the batch is sized beyond the dense
     one-hot budget (S~1000, K~3100 per graph — the flat-start-utterance
     class from VERDICT r2) so auto dispatch lands on the XL semiring
-    kernels, and the gather engine is A/B'd in the same process."""
-    from pychain_tpu import ChainGraph, ChainGraphBatch
-    from pychain_tpu.utils.testgraphs import random_fst
+    kernels, and the gather engine is A/B'd in the same process.
 
-    if xl:
+    With xlstream=True, the batch is a DENOMINATOR-scale log-domain
+    graph (S~3000, K~50k shared across the batch — the one class the
+    reference's per-arc CUDA log-domain kernels served and no fast
+    tier here did until round 4): its (S_pad, K_pad) mask pair is
+    ~600 MB, so the XL entry tiers to the arc-chunk STREAMED kernels
+    (no VMEM ceiling on K), again A/B'd against gather."""
+    from pychain_tpu import ChainGraph, ChainGraphBatch
+    from pychain_tpu.utils.testgraphs import denominator_fst, random_fst
+
+    if xlstream:
+        if QUICK:
+            B, T, PHONES = 4, 20, 40
+        else:
+            B, T, PHONES = 32, 150, 1500
+        den_fst, P = denominator_fst(num_phones=PHONES,
+                                     states_per_phone=2, seed=0,
+                                     bigram_fanout=30)
+        shared = ChainGraph(den_fst, log_domain=True)
+        batch = ChainGraphBatch(shared, B)
+        graphs = [shared]
+    elif xl:
         B, T, S_g, P = (8, 50, 200, 300) if QUICK else (128, 500, 1000,
                                                         3000)
         arcs_per_state = 5
     else:
         B, T, S_g, P = (8, 50, 12, 8) if QUICK else (128, 500, 16, 96)
         arcs_per_state = 3
-    graphs = [ChainGraph(random_fst(num_states=S_g, num_pdfs=P,
-                                    max_arcs_per_state=arcs_per_state,
-                                    seed=s),
-                         log_domain=True) for s in range(B)]
+    if not xlstream:
+        graphs = [ChainGraph(random_fst(num_states=S_g, num_pdfs=P,
+                                        max_arcs_per_state=arcs_per_state,
+                                        seed=s),
+                             log_domain=True) for s in range(B)]
+        batch = ChainGraphBatch(
+            graphs,
+            max_num_transitions=max(g.num_transitions for g in graphs),
+            max_num_states=max(g.num_states for g in graphs))
     mk = max(g.num_transitions for g in graphs)
     ms = max(g.num_states for g in graphs)
-    batch = ChainGraphBatch(graphs, max_num_transitions=mk,
-                            max_num_states=ms)
-    if xl:
+    if xlstream:
+        from pychain_tpu.ops.semiring_xl import fits_xl_budget
+        assert QUICK or not fits_xl_budget(mk, ms), \
+            "xlstream config should exceed the resident XL mask budget"
+    elif xl:
         assert QUICK or batch._semiring is None, \
             "xl config should exceed the dense one-hot budget"
     else:
         assert batch._semiring is not None
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, P), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
-    g = dispatch_arrays(batch, "semiring_xl" if xl else "auto")
+    g = dispatch_arrays(batch, "semiring_xl" if (xl or xlstream)
+                        else "auto")
     vg = jax.jit(jax.value_and_grad(chain_function))
-    tag = "xl" if xl else "semiring"
+    tag = "xlstream" if xlstream else ("xl" if xl else "semiring")
 
     t0 = time.time()
     objf, grad = vg(x, lengths, g)
@@ -294,7 +326,7 @@ def _bench_semiring(xl=False):
           f"({ups:.0f} utts/s)", file=sys.stderr)
 
     extra = ""
-    if xl:
+    if xl or xlstream:
         # A/B the gather engine in the same process (few iterations —
         # it is the measured ~200x cliff the XL engine removes)
         gg = dispatch_arrays(batch, "gather")
@@ -304,16 +336,19 @@ def _bench_semiring(xl=False):
         g_best = timed(g_iters, gg)
         g_ups = B / g_best
         print(f"# [gather A/B] {g_best:.3f} s/batch ({g_ups:.2f} utts/s); "
-              f"objf rel diff {dv:.2e}; xl speedup {ups / g_ups:.1f}x",
+              f"objf rel diff {dv:.2e}; {tag} speedup {ups / g_ups:.1f}x",
               file=sys.stderr)
         extra = (f"; gather engine {g_ups:.1f} utts/s -> "
                  f"{ups / g_ups:.1f}x speedup, objf rel diff {dv:.1e}")
 
+    kind = ("denominator-scale log-domain" if xlstream
+            else "arbitrary-cyclic numerator")
+    eng = ("streamed-XL" if xlstream else ("XL" if xl else "one-hot"))
     ref = _reference_ups()
     print(json.dumps({
-        "metric": f"arbitrary-cyclic numerator fwd-bwd utts/sec/chip "
+        "metric": f"{kind} fwd-bwd utts/sec/chip "
                   f"(B={B},T={T},S<={ms},K<={mk},P={P}; "
-                  f"{'XL' if xl else 'one-hot'} semiring engine"
+                  f"{eng} semiring engine"
                   f"{extra})",
         "value": round(ups, 2),
         "unit": "utts/sec",
@@ -377,8 +412,8 @@ def main():
     _require_live_backend()
     if "--viterbi" in sys.argv:
         return _bench_viterbi()
-    if SEMIRING or XL:
-        return _bench_semiring(xl=XL)
+    if SEMIRING or XL or XLSTREAM:
+        return _bench_semiring(xl=XL, xlstream=XLSTREAM)
     rng = np.random.RandomState(0)
     den_fst, P = denominator_fst(num_phones=NUM_PHONES, states_per_phone=2,
                                  seed=0, bigram_fanout=FANOUT)

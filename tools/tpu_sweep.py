@@ -3,12 +3,19 @@
 
 Runs, in order, against the real chip (requires the tunnel to be up):
 
-1. the on-chip kernel parity tests (bf16 Pallas + semiring),
+1. the on-chip kernel parity tests (bf16 Pallas + semiring + the
+   weight-streaming tier),
 2. bench.py in every mode (headline, --full, --train, --semiring,
-   --xl, --long, --s8k),
+   --xl, --xlstream, --long, --s8k),
 3. the sharded-pallas 1-device-mesh parity check (tools/sharded_check),
-4. the fits_vmem dispatch-boundary sweep (tools/vmem_boundary),
+4. the three-tier dispatch-boundary sweep (tools/vmem_boundary),
 5. the driver entry compile check (__graft_entry__.entry).
+
+Each stage records first-compile seconds per engine (parsed from the
+"compile+first-run" stderr lines) and the report compares them against
+the previous sweep JSON, warning on >2x regressions — the pin VERDICT
+r3 weak #6 asked for after bench_headline's factorized compile
+tripled unexplained.
 
 Writes a JSON report to --out (default /tmp/tpu_sweep.json) and prints
 a summary line per stage.  Exits nonzero if any stage fails, and fails
@@ -18,14 +25,20 @@ Usage:  python tools/tpu_sweep.py [--out report.json] [--skip-tests]
 """
 
 import argparse
+import glob
 import json
 import os
+import re
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+# "# [impl] compile+first-run 111.8s ..." lines from bench.py / tools
+_COMPILE_RE = re.compile(r"#\s*\[([\w-]+)\]\s*compile\+first-run\s*"
+                         r"([0-9.]+)s")
 
 
 def run(cmd, timeout, env=None):
@@ -34,21 +47,61 @@ def run(cmd, timeout, env=None):
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=timeout, cwd=REPO,
                               env=env or dict(os.environ))
-        return {"cmd": " ".join(cmd), "rc": proc.returncode,
-                "secs": round(time.time() - t0, 1),
-                "stdout": proc.stdout[-4000:],
-                "stderr": proc.stderr[-2000:]}
+        r = {"cmd": " ".join(cmd), "rc": proc.returncode,
+             "secs": round(time.time() - t0, 1),
+             "stdout": proc.stdout[-4000:],
+             "stderr": proc.stderr[-2000:]}
+        # first-compile seconds per engine, parsed before truncation:
+        # the pin that catches a real Mosaic/XLA compile-time
+        # regression under tunnel-load noise (VERDICT r3 weak #6 —
+        # bench_headline's factorized compile tripled unexplained)
+        comp = {m.group(1): float(m.group(2))
+                for m in _COMPILE_RE.finditer(proc.stderr)}
+        if comp:
+            r["compile_s"] = comp
+        return r
     except subprocess.TimeoutExpired:
         return {"cmd": " ".join(cmd), "rc": -9,
                 "secs": round(time.time() - t0, 1),
                 "stdout": "", "stderr": f"timeout after {timeout}s"}
 
 
+def compile_deltas(report, prev_path):
+    """Compare per-stage compile_s against the previous sweep JSON;
+    returns {stage: {impl: [prev, now, ratio]}} for every measured
+    pair, flagging >2x as a regression (warn, not fail — tunnel load
+    alone has produced 3-7x swings on identical code)."""
+    if not prev_path or not os.path.exists(prev_path):
+        return {}
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f).get("stages", {})
+    except (OSError, json.JSONDecodeError):
+        return {}
+    deltas = {}
+    for stage, r in report["stages"].items():
+        pc = prev.get(stage, {}).get("compile_s", {})
+        nc = r.get("compile_s", {})
+        both = {k: [pc[k], nc[k], round(nc[k] / max(pc[k], 1e-9), 2)]
+                for k in nc if k in pc}
+        if both:
+            deltas[stage] = both
+    return deltas
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/tpu_sweep.json")
     ap.add_argument("--skip-tests", action="store_true")
+    ap.add_argument("--prev", default=None,
+                    help="previous sweep JSON for compile-time deltas "
+                         "(default: newest docs/SWEEP_r*.json)")
     args = ap.parse_args()
+    prev = args.prev
+    if prev is None:
+        cands = sorted(glob.glob(os.path.join(REPO, "docs",
+                                              "SWEEP_r*.json")))
+        prev = cands[-1] if cands else None
 
     from pychain_tpu.utils.backend import tpu_tunnel_alive, tunnel_env_set
     if not tunnel_env_set():
@@ -66,6 +119,7 @@ def main():
         r = run([sys.executable, "-m", "pytest",
                  "tests/test_pallas_bf16.py::test_pallas_bf16_on_tpu_hardware",
                  "tests/test_semiring.py::test_semiring_pallas_on_tpu_hardware",
+                 "tests/test_pallas_stream.py::test_stream_on_tpu_hardware",
                  "-q"], timeout=5400)
         report["stages"]["onchip_tests"] = r
         ok &= r["rc"] == 0
@@ -76,6 +130,7 @@ def main():
                                  ("train", ["--train"], 1800),
                                  ("semiring", ["--semiring"], 1800),
                                  ("xl", ["--xl"], 2400),
+                                 ("xlstream", ["--xlstream"], 3600),
                                  ("long", ["--long"], 2400),
                                  ("viterbi", ["--viterbi"], 2400),
                                  ("s8k", ["--s8k"], 2400)):
@@ -132,6 +187,16 @@ def main():
     print(f"[entry] rc={r['rc']} {r['secs']}s", file=sys.stderr)
 
     report["ok"] = ok
+    deltas = compile_deltas(report, prev)
+    if deltas:
+        report["compile_deltas_vs"] = prev
+        report["compile_deltas"] = deltas
+        for stage, impls in deltas.items():
+            for impl, (p, n, ratio) in impls.items():
+                if ratio > 2.0:
+                    print(f"[compile-pin] WARNING {stage}/{impl}: "
+                          f"{p:.0f}s -> {n:.0f}s ({ratio}x)",
+                          file=sys.stderr)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(("SWEEP OK" if ok else "SWEEP FAILED") + f" -> {args.out}",

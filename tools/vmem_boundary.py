@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
-"""Sweep denominator sizes across the Pallas fits_vmem boundary.
+"""Sweep denominator sizes across the Pallas engine-tier boundaries.
 
-For each size: dispatch impl="pallas" (which must EITHER select the
-VMEM-resident kernels OR fall back to the XLA factorized engine — a
-Mosaic compile error at any size is a failure, VERDICT r2 weak #6) and
-run one fwd-bwd + a short amortized timing.  Locates where the
-8874-utts/s resident regime actually ends between S=3000 and the
-S=8000 fallback (360 utts/s).
+For each size: dispatch impl="pallas", which must select one of the
+THREE tiers — VMEM-resident kernels under fits_vmem, the
+weight-streaming kernels beyond it (W1 tiles streamed through the
+grid pipeline, everything else resident), the XLA factorized engine
+as the no-VMEM-ceiling fallback — and run one fwd-bwd + a short
+amortized timing.  A Mosaic compile error at any size is a failure
+(VERDICT r2 weak #6); each entry records which engine served it, so
+the report pins the resident->stream handoff in the S=3000-8000 band
+(the cliff that used to slide 1052->500->256 utts/s onto the XLA scan
+before the stream tier existed, SWEEP_r3 vmem_boundary).
 
 Usage: python tools/vmem_boundary.py [--phones 1500,2000,2500,3000,4000]
 Writes /tmp/vmem_boundary.json; exit 0 when every size ran clean.
