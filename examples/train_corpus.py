@@ -258,6 +258,12 @@ def main():
                     help="steps excluded from the steady-state "
                          "throughput report (jit compilation)")
     ap.add_argument("--dp", action="store_true")
+    ap.add_argument("--eval-per", action="store_true",
+                    help="after training, Viterbi-decode the corpus "
+                         "(decode.PhoneDecoder over a bigram phone LM "
+                         "estimated from the data dir's 'text' file) "
+                         "and report the phone error rate — the "
+                         "end-to-end quality gate")
     ap.add_argument("--device-corpus", action="store_true",
                     help="stage the WHOLE corpus in HBM once (features "
                          "+ linear numerator arrays); per step only a "
@@ -409,9 +415,9 @@ def main():
     # step — the loop is device-bound even on a slow host link.
     staged = None
     if args.device_corpus:
-        if args.dp or args.realign_at:
+        if args.realign_at:
             raise ValueError("--device-corpus does not combine with "
-                             "--dp or --realign-at")
+                             "--realign-at")
         from pychain_tpu.ops.linear import LinearArrays
         x_all, lens_all_np = pad_to_bucket(
             feats, list(range(len(keys))), max_t)
@@ -434,6 +440,13 @@ def main():
                                    impl="pallas" if tile_dtype
                                    else "auto"),
         }
+        if args.dp:
+            # dp x device-corpus: the corpus is staged REPLICATED on
+            # the mesh; per step only the (B,) index vector is
+            # dp-sharded (in assemble_batches below), and the jitted
+            # gathers propagate that sharding onto the batch — so each
+            # device gathers its own batch shard from its local copy
+            staged = jax.device_put(staged, rep)
         nbytes = sum(a.nbytes for a in
                      jax.tree.leaves((staged["x"], staged["nums"])))
         print(f"device corpus: {len(keys)} utts staged in HBM "
@@ -451,6 +464,9 @@ def main():
                 t0 = time.time()
                 lens = [lengths_all[int(i)] for i in idx]
                 idx_j = jnp.asarray(np.asarray(idx, np.int32))
+                if args.dp:
+                    idx_j = jax.device_put(
+                        idx_j, NamedSharding(mesh, Pn("dp")))
                 pipe["assemble"] += time.time() - t0
                 pipe["produced"] += 1
                 # x_j slot carries the index vector; the step gathers
@@ -668,6 +684,46 @@ def main():
               "minibatch' semantics)")
     print(f"done: {step - step0} steps in {time.time() - t_start:.1f}s; "
           f"final loss {float(loss):.4f}")
+
+    if args.eval_per:
+        # end-to-end quality gate: a finite loss can hide numerics that
+        # wreck the posterior, so decode the trained model and score it
+        # against the reference transcripts.  (The reference delegates
+        # this to Espresso; this repo ships the trainer, so it owns the
+        # proof.)
+        text_path = os.path.join(data_dir, "text")
+        if not os.path.exists(text_path):
+            raise ValueError(
+                "--eval-per needs a 'text' transcript file in the data "
+                "dir (synthetic corpora write one with "
+                "--synthetic-graphs=built)")
+        from pychain_tpu.decode import PhoneDecoder, phone_error_rate
+        refs = {}
+        with open(text_path) as f:
+            for line in f:
+                parts = line.split()
+                refs[parts[0]] = [int(p) for p in parts[1:]]
+        # reload the corpus: chunking/realignment may have replaced the
+        # in-memory feats with sub-utterances
+        e_keys, e_feats, _, _ = load_corpus(data_dir)
+        order = [i for i, k in enumerate(e_keys) if k in refs]
+        n_ph = P // 2                      # non-shared topology
+        lm = estimate_phone_lm([refs[e_keys[i]] for i in order],
+                               num_phones=n_ph, order=2)
+        dec = PhoneDecoder(lm, ChainTopology(num_phones=n_ph))
+        bs = args.batch_size
+        hyps = []
+        for i0 in range(0, len(order), bs):
+            chunk = order[i0:i0 + bs]
+            padded = chunk + [chunk[-1]] * (bs - len(chunk))
+            t_pad = max(e_feats[i].shape[0] for i in padded)
+            x, lens = pad_to_bucket(e_feats, padded, t_pad)
+            x_j, lens_j = jnp.asarray(x), jnp.asarray(lens)
+            out = apply_model(params, x_j, lens_j)
+            res = dec(out, lens_j)
+            hyps.extend(res.phones[:len(chunk)])
+        per = phone_error_rate([refs[e_keys[i]] for i in order], hyps)
+        print(f"eval PER {per:.4f} over {len(order)} utts")
     if not np.isfinite(float(loss)):
         print("WARNING: final loss is not finite — training diverged. "
               "Lower --lr (e.g. 3e-4), keep --grad-clip enabled, or "
