@@ -42,11 +42,11 @@ XL = "--xl" in sys.argv  # XL cyclic numerator batch (S~1000, K~3100)
                          # beyond the dense one-hot budget: the XL
                          # semiring kernels, A/B'd against gather
 XLSTREAM = "--xlstream" in sys.argv  # denominator-scale LOG-DOMAIN
-                                     # batch (S~3000, K~50k — masks
-                                     # ~600 MB, far beyond the resident
-                                     # XL budget): the arc-chunk
-                                     # STREAMED XL kernels, A/B'd
-                                     # against gather
+                                     # batch (S~3000, K~50k, shared):
+                                     # auto -> the factorized engines
+                                     # in normalized-linear form
+                                     # (log_semantics), A/B'd against
+                                     # gather
 LONG = "--long" in sys.argv  # BASELINE config 5: long utterances
                              # (T=2500, bf16), stream_mode="auto"; add
                              # --big for B=128 (auto -> lean streams)
@@ -254,9 +254,13 @@ def _bench_semiring(xl=False, xlstream=False):
     With xlstream=True, the batch is a DENOMINATOR-scale log-domain
     graph (S~3000, K~50k shared across the batch — the one class the
     reference's per-arc CUDA log-domain kernels served and no fast
-    tier here did until round 4): its (S_pad, K_pad) mask pair is
-    ~600 MB, so the XL entry tiers to the arc-chunk STREAMED kernels
-    (no VMEM ceiling on K), again A/B'd against gather."""
+    tier here did until round 4).  A shared graph factorizes, so auto
+    dispatch serves it through the factorized/Pallas engines in
+    normalized-linear form (log_semantics; leaky=0) — measured FAR
+    ahead of both the gather engine and the dense streamed-XL masks
+    (which measured 0.2x gather here: O(S*K) dense work is the wrong
+    algorithm for a shared graph, docs/DESIGN.md round-4).  The gather
+    engine is A/B'd in the same process."""
     from pychain_tpu import ChainGraph, ChainGraphBatch
     from pychain_tpu.utils.testgraphs import denominator_fst, random_fst
 
@@ -300,8 +304,16 @@ def _bench_semiring(xl=False, xlstream=False):
         assert batch._semiring is not None
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, P), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
-    g = dispatch_arrays(batch, "semiring_xl" if (xl or xlstream)
-                        else "auto")
+    g = dispatch_arrays(batch, "semiring_xl" if xl else "auto")
+    if xlstream:
+        from pychain_tpu.ops.factorized import FactorizedArrays
+        # (QUICK shrinks the graph into the dense one-hot budget, where
+        # auto correctly prefers the dense semiring engine)
+        assert QUICK or (isinstance(g, FactorizedArrays)
+                         and g.log_semantics), \
+            "auto must serve the shared log-domain graph factorized"
+        print(f"# xlstream dispatch -> {type(g).__name__} "
+              f"engine={getattr(g, 'engine', None)}", file=sys.stderr)
     vg = jax.jit(jax.value_and_grad(chain_function))
     tag = "xlstream" if xlstream else ("xl" if xl else "semiring")
 
@@ -343,7 +355,8 @@ def _bench_semiring(xl=False, xlstream=False):
 
     kind = ("denominator-scale log-domain" if xlstream
             else "arbitrary-cyclic numerator")
-    eng = ("streamed-XL" if xlstream else ("XL" if xl else "one-hot"))
+    eng = ("factorized-log (auto)" if xlstream
+           else ("XL" if xl else "one-hot"))
     ref = _reference_ups()
     print(json.dumps({
         "metric": f"{kind} fwd-bwd utts/sec/chip "

@@ -177,15 +177,49 @@ class ChainGraphBatch:
             self._detect_log_engines(self._graphs, graph.num_transitions,
                                      graph.num_states)
 
-        # Factorized block-sparse form for the MXU fast path (prob domain).
+        # Factorized block-sparse form for the MXU fast path.
         self._fact = None
+        from .graphs.factorize import factorize
+        from .ops.factorized import from_factorized_graph
         if not graph.log_domain:
-            from .graphs.factorize import factorize
-            from .ops.factorized import from_factorized_graph
             fg = factorize(graph)
             self._fact = from_factorized_graph(
                 fg, graph.initial_probs, graph.final_probs,
                 graph.leaky_probs, tile_dtype=self._tile_dtype)
+        else:
+            # A SHARED log-domain graph is the same transition matrix
+            # with log weights: exp them (exact for hard zeros) and the
+            # factorized engines serve it in normalized-linear form at
+            # denominator speed — measured 0.2x GATHER for the dense
+            # streamed-XL masks at S=3000/K=50k (the O(S*K) work is the
+            # wrong algorithm for a shared graph), vs the factorized
+            # class's 238-2738 utts/s.  leaky is forced to 0 at
+            # dispatch; infeasible sequences are guarded back to the
+            # log-engine contract (loss._run).
+            import dataclasses as _dc
+            import types
+            shim = types.SimpleNamespace(
+                log_domain=False,
+                num_states=graph.num_states,
+                forward_transitions=graph.forward_transitions,
+                forward_transition_probs=np.exp(
+                    graph.forward_transition_probs.astype(np.float64)
+                ).astype(np.float32),
+                final_probs=np.exp(
+                    graph.final_probs.astype(np.float64)).astype(
+                        np.float32),
+            )
+            fg = factorize(shim)
+            S = graph.num_states
+            self._fact = _dc.replace(
+                from_factorized_graph(
+                    fg,
+                    np.exp(graph.initial_probs.astype(np.float64)
+                           ).astype(np.float32),
+                    shim.final_probs,
+                    np.full(S, 1.0 / S, np.float32),  # unused: leaky=0
+                    tile_dtype=self._tile_dtype),
+                log_semantics=True)
 
         t = graph.forward_transitions
         self._fwd_src = jnp.asarray(t[:, 0])

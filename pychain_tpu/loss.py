@@ -230,10 +230,24 @@ def _dispatch_arrays(graphs, impl):
                          "masks fit the XL VMEM budget")
     if (impl == "auto" and getattr(graphs, "log_domain", False)
             and getattr(graphs, "_graphs", None) is not None):
-        # arbitrary cyclic batch that no dense engine claimed: the XL
-        # kernels take it when the per-graph masks fit VMEM (TPU only —
-        # off-TPU they would run in the Pallas interpreter, far slower
-        # than even the gather scan)
+        # arbitrary cyclic batch that no dense engine claimed.  A
+        # SHARED graph factorizes (broadcast ctor): the factorized
+        # engines serve it in normalized-linear form at denominator
+        # speed — measured 1913 utts/s = 27.3x over the gather engine
+        # at B=32 T=150 S=3000 K=50k on chip (objf rel diff 2.3e-06),
+        # where the dense streamed-XL masks measured 0.2x (O(S*K) work
+        # is the wrong algorithm for a shared graph; bench --xlstream).
+        lfact = getattr(graphs, "_fact", None)
+        if lfact is not None:
+            if impl == "auto" and jax.default_backend() == "tpu":
+                from .ops.pallas_fact import supports
+                if supports(lfact):
+                    return _pallas_tier(lfact)
+            return lfact
+        # LIST batches (per-sequence graphs, where per-row gathers are
+        # ~50x slower per arc): the XL kernels take them when eligible
+        # (TPU only — off-TPU they would run in the Pallas interpreter,
+        # far slower than even the gather scan)
         if jax.default_backend() == "tpu":
             built = _force_engine(graphs, "semiring_xl")
             if built is not None:
@@ -289,6 +303,19 @@ def _zero_ct(x):
     return np.zeros(jnp.shape(x), jax.dtypes.float0)
 
 
+def _guard_infeasible(res: FwdBwdResult) -> FwdBwdResult:
+    """Log-engine contract for dead sequences: a sequence whose path
+    set is empty (or dies mid-utterance) must come back as objf=-inf,
+    gamma=0, ok=False — matching forward_backward_log — instead of the
+    NaN/inf the prob-domain division by tot_prob produces."""
+    feasible = jnp.isfinite(res.objf)
+    objf = jnp.where(feasible, res.objf, -jnp.inf)
+    gamma = jnp.where(jnp.isfinite(res.gamma), res.gamma, 0.0)
+    gamma = jnp.where(feasible[:, None, None], gamma, 0.0)
+    return FwdBwdResult(objf, gamma, res.ok & feasible,
+                        res.alpha_beta, res.gamma_sum)
+
+
 def _run(x, lengths, g, leaky_coefficient, debug=True) -> FwdBwdResult:
     """debug=False lets the Pallas engine skip the per-frame invariant
     traces (checked at frame 0 only, the reference's default) — used by
@@ -310,18 +337,27 @@ def _run(x, lengths, g, leaky_coefficient, debug=True) -> FwdBwdResult:
         from .ops.semiring_xl import forward_backward_semiring_xl
         return forward_backward_semiring_xl(x, lengths, g)
     if isinstance(g, FactorizedArrays):
+        if g.log_semantics:
+            # log-domain graph served in normalized-linear form:
+            # no leaky HMM (graph.py:54-59), and infeasible sequences
+            # guarded back to the log-engine contract below
+            leaky_coefficient = 0.0
         if g.engine == "pallas":
             from .ops.pallas_fact import forward_backward_prob_pallas
-            return forward_backward_prob_pallas(jnp.exp(x), lengths, g,
-                                                leaky_coefficient,
-                                                debug=debug)
-        if g.engine == "stream":
+            res = forward_backward_prob_pallas(jnp.exp(x), lengths, g,
+                                               leaky_coefficient,
+                                               debug=debug)
+        elif g.engine == "stream":
             from .ops.pallas_stream import forward_backward_prob_stream
-            return forward_backward_prob_stream(jnp.exp(x), lengths, g,
-                                                leaky_coefficient,
-                                                debug=debug)
-        return forward_backward_prob_fact(jnp.exp(x), lengths, g,
-                                          leaky_coefficient)
+            res = forward_backward_prob_stream(jnp.exp(x), lengths, g,
+                                               leaky_coefficient,
+                                               debug=debug)
+        else:
+            res = forward_backward_prob_fact(jnp.exp(x), lengths, g,
+                                             leaky_coefficient)
+        if g.log_semantics:
+            res = _guard_infeasible(res)
+        return res
     if g.leaky is not None:
         return forward_backward_prob(jnp.exp(x), lengths, g,
                                      leaky_coefficient)

@@ -79,6 +79,16 @@ class FactorizedArrays:
     # x_src = E_g @ px in-kernel.
     xsrc_mode: str = dataclasses.field(default="stream",
                                        metadata=dict(static=True))
+    # True when this factorization serves a LOG-DOMAIN graph in
+    # normalized-linear form (weights exp'd — exact for hard zeros).
+    # Dispatch then forces leaky_coefficient=0 (graph.py:54-59 — no
+    # leaky HMM in log domain) and guards infeasible sequences to the
+    # log-engine contract (objf=-inf, gamma=0, ok=False).  The per-frame
+    # normalization of the "version 3" recurrences provides the same
+    # underflow protection the log-domain gather engine gets from its
+    # per-frame logsumexp shifts.
+    log_semantics: bool = dataclasses.field(default=False,
+                                            metadata=dict(static=True))
 
     @property
     def s_pad(self) -> int:

@@ -67,10 +67,16 @@ EXP_CLAMP = 80.0      # exp(scale) guard; overlap < e^-80 is f32 noise
 
 
 def supports(g: SemiringArrays, batch: int | None = None) -> bool:
-    """One-hots must fit VMEM next to the working set."""
+    """One-hots must fit VMEM next to the working set.
+
+    The batch axis is the kernels' MINOR (lane) dim, so Mosaic pads it
+    to a full 128-lane tile regardless of b_tile: a small batch does
+    NOT shrink the resident (K, S, bt) blocks.  Pricing the unpadded
+    bt admitted B=4 K=1320 S=80 (3.4 MB nominal) that compiled to
+    154 MB of VMEM — a hard Mosaic OOM instead of an XLA fallback."""
     B, K, S = g.src_oh.shape
-    bt = min(B if batch is None else batch, 128)
-    return 2 * K * S * bt * 4 <= 48 * 1024 * 1024
+    sp = (S + 7) // 8 * 8                  # sublane padding
+    return 2 * K * sp * 128 * 4 <= 48 * 1024 * 1024
 
 
 # ----------------------------------------------------------------------

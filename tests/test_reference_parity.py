@@ -223,6 +223,37 @@ def test_parity_xl_semiring_log_domain():
                                rtol=2e-3, atol=2e-5)
 
 
+def test_parity_factorized_log_domain():
+    """The factorized-log path (shared log-domain graph on the
+    factorized engines, normalized-linear, leaky=0 — round 4) vs the
+    reference log-domain CPU engine.  This is the path that serves the
+    denominator-scale log-domain class at 27.3x the gather engine on
+    chip (bench --xlstream); parity target:
+    chain-log-domain-computation.{h,cc}."""
+    rng = np.random.RandomState(15)
+    B, T = 4, 12
+    fst, P = _testgraph_denominator(num_phones=5, seed=3)
+    shared = ChainGraph(fst, log_domain=True)
+    batch = ChainGraphBatch(shared, B)
+    from pychain_tpu.ops.factorized import FactorizedArrays
+    assert isinstance(batch._fact, FactorizedArrays)
+    lengths = np.array([12, 9, 6, 2], np.int32)
+    x = rng.randn(B, T, P).astype(np.float32)
+
+    ref_objf, ref_grad, _ = _ref_forward_backward(batch, x, lengths)
+    objf, res = chain_function_with_aux(
+        jnp.asarray(x), jnp.asarray(lengths), batch, impl="factorized")
+    assert abs(float(objf) - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
+    np.testing.assert_allclose(np.asarray(res.gamma), ref_grad,
+                               rtol=2e-3, atol=2e-5)
+
+
+def _testgraph_denominator(num_phones, seed):
+    from pychain_tpu.utils.testgraphs import denominator_fst
+    return denominator_fst(num_phones=num_phones, states_per_phone=2,
+                           seed=seed)
+
+
 def test_parity_streamed_xl_semiring_log_domain(monkeypatch):
     """STREAMED XL tier (arc-chunk masks, round 4) vs the reference
     log-domain CPU engine: the beyond-resident-budget class the
