@@ -1,8 +1,11 @@
 """On-chip A/B: weight-streaming Pallas engine vs the XLA factorized
 fallback on a beyond-VMEM denominator (the bench --s8k configuration).
 
-Usage: python tools/stream_ab.py [--iters N] [--chunk C] [--b B] [--t T]
+Usage: python tools/stream_ab.py [--iters N] [--chunk C|auto]
+                                 [--b B] [--t T] [--phones NP]
 Prints per-engine ms/batch and utts/s plus an objf cross-check.
+``--chunk auto`` (the default) exercises auto_chunk_tiles; an explicit
+C pins the chunk for manual-vs-auto A/Bs (VERDICT r3 weak #4).
 """
 
 import sys
@@ -18,9 +21,10 @@ import jax.numpy as jnp
 
 def main():
     iters = int(_arg("--iters", 20))
-    chunk = int(_arg("--chunk", 64))
+    chunk = _arg("--chunk", "auto")
     B = int(_arg("--b", 64))
     T = int(_arg("--t", 300))
+    phones = int(_arg("--phones", 4000))
 
     from pychain_tpu import ChainGraph, ChainGraphBatch
     from pychain_tpu.loss import chain_function, dispatch_arrays
@@ -29,7 +33,7 @@ def main():
     print(f"# backend: {jax.default_backend()}", file=sys.stderr)
     rng = np.random.RandomState(0)
     t0 = time.time()
-    den_fst, P = denominator_fst(num_phones=4000, states_per_phone=2,
+    den_fst, P = denominator_fst(num_phones=phones, states_per_phone=2,
                                  seed=0, bigram_fanout=30)
     den = ChainGraph(den_fst, log_domain=False)
     batch = ChainGraphBatch(den, B, tile_dtype="bfloat16")
@@ -47,7 +51,12 @@ def main():
 
     results = {}
     from pychain_tpu.ops import pallas_stream
-    pallas_stream.CHUNK_TILES = chunk
+    if chunk == "auto":
+        chunk = pallas_stream.auto_chunk_tiles(fa)
+        print(f"# auto_chunk_tiles -> {chunk}", file=sys.stderr)
+    else:
+        chunk = int(chunk)
+        pallas_stream.auto_chunk_tiles = lambda fa_, b_tile=128: chunk
     engines = (("stream",) if "--skip-xla" in sys.argv
                else ("stream", "xla"))
     for engine in engines:

@@ -9,7 +9,9 @@ Runs, in order, against the real chip (requires the tunnel to be up):
    --xl, --xlstream, --long, --s8k),
 3. the sharded-pallas 1-device-mesh parity check (tools/sharded_check),
 4. the three-tier dispatch-boundary sweep (tools/vmem_boundary),
-5. the driver entry compile check (__graft_entry__.entry).
+5. the on-chip PER quality gate (train the recipe on a built synthetic
+   corpus, decode, require phone error rate <= 0.05),
+6. the driver entry compile check (__graft_entry__.entry).
 
 Each stage records first-compile seconds per engine (parsed from the
 "compile+first-run" stderr lines) and the report compares them against
@@ -178,6 +180,23 @@ def main():
     report["stages"]["vmem_boundary"] = r
     ok &= r["rc"] == 0
     print(f"[vmem_boundary] rc={r['rc']} {r['secs']}s", file=sys.stderr)
+
+    # end-to-end QUALITY gate on chip (VERDICT r3 #8): train the
+    # flagship recipe on a built synthetic corpus, decode, and require
+    # phone error rate under the same 0.05 threshold the CI smoke pins
+    r = run([sys.executable, "examples/train_corpus.py",
+             "--synthetic-graphs", "built", "--num-style", "aligned",
+             "--corpus-utts", "32", "--corpus-phones", "12",
+             "--steps", "60", "--batch-size", "8", "--warmup-steps", "2",
+             "--diag-every", "0", "--eval-per"], timeout=3000)
+    m = re.search(r"eval PER (\d+\.\d+)", r.get("stdout", ""))
+    r["per"] = float(m.group(1)) if m else None
+    gate_ok = r["rc"] == 0 and r["per"] is not None and r["per"] <= 0.05
+    r["rc"] = r["rc"] if gate_ok else (r["rc"] or 1)
+    report["stages"]["per_gate"] = r
+    ok &= gate_ok
+    print(f"[per_gate] rc={r['rc']} PER={r['per']} {r['secs']}s",
+          file=sys.stderr)
 
     code = ("import jax, __graft_entry__ as g; fn, a = g.entry(); "
             "print('entry loss', jax.jit(fn)(*a))")
