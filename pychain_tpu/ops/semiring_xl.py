@@ -71,11 +71,14 @@ XL_VMEM_BUDGET = 60 * 1024 * 1024
 # one (S_pad, kc) mask pair + carries.  kc is sized so the pair stays
 # ~24 MB, leaving room for the streamed rows' double buffers.
 XL_STREAM_MASK_BUDGET = 24 * 1024 * 1024
-# Streamed-XL eligibility ceiling on the state axis: per-frame VPU work
-# is O(S*K), so past S ~ 40k the expansion+contraction would no longer
-# clear the gather engine (measured 41.9x at S=1000; the advantage
-# shrinks linearly in S).  8192 covers the denominator-scale class
-# (S~3000, K~50k) with >4x headroom before breakeven.
+# Streamed-XL eligibility ceiling on the state axis.  Its domain is
+# LIST batches (per-sequence graphs), where the gather engine pays
+# ~105 ns/arc on per-row indices: per-frame dense work is O(S*K) VPU
+# ops, so the breakeven against list-gather sits near S ~ 30k and 8192
+# keeps a ~4x margin.  SHARED broadcast graphs never reach this tier —
+# they factorize and dispatch to the factorized-log path instead
+# (measured 27.3x gather on chip where these dense masks measured
+# 0.2x: shared-index gathers vectorize to ~1.9 ns/arc, docs/DESIGN.md).
 XL_STREAM_MAX_S = 8192
 
 # Emission/posterior one-hot matmuls are chunked over the batch so the
