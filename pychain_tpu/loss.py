@@ -88,6 +88,8 @@ def _log_engine(g, impl):
         name = type(g).__name__
         engine = getattr(g, "engine", None)
         detail = f"[{engine}]" if engine else ""
+        if getattr(g, "log_semantics", False):
+            detail += "[log]"
         print(f"pychain_tpu: dispatch impl={impl} -> {name}{detail}",
               file=sys.stderr)
     return g
