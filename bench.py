@@ -31,9 +31,10 @@ from pychain_tpu.loss import chain_function, dispatch_arrays  # noqa: E402
 from pychain_tpu.utils.testgraphs import denominator_fst  # noqa: E402
 
 QUICK = "--quick" in sys.argv
-S8K = "--s8k" in sys.argv  # S~8000 scalability entry (beyond VMEM
-                           # residency; exercises the weight-streaming
-                           # Pallas tier)
+S8K = "--s8k" in sys.argv  # S~8000 scalability entry (the round-3
+                           # beyond-VMEM class; after the round-4
+                           # fits_vmem recalibration the resident
+                           # kernels serve it directly)
 FULL = "--full" in sys.argv  # full ChainLoss (den + linear numerators)
                              # value+grad — the end-to-end training number
 SEMIRING = "--semiring" in sys.argv  # arbitrary cyclic numerator batch
@@ -58,8 +59,8 @@ if "--gather" in sys.argv:
 elif "--f32" in sys.argv:
     IMPLS = ["factorized"]
 elif S8K or FULL or TRAIN:
-    IMPLS = ["pallas"]     # s8k: dispatch tiers to the weight-streaming
-                           # Pallas engine (beyond fits_vmem) — the point
+    IMPLS = ["pallas"]     # s8k: the Pallas tiering (resident since the
+                           # round-4 recalibration) — the point
 else:
     IMPLS = ["factorized", "pallas"]  # parity engine + fast engine
 TILE_DTYPE = ("bfloat16" if ("--bf16" in sys.argv or S8K or FULL or TRAIN)
@@ -517,7 +518,7 @@ def main():
     if S8K:
         from pychain_tpu.loss import dispatch_arrays as _da
         eng = getattr(_da(batch_bf16, "pallas"), "engine", "?")
-        extra += f"; beyond-VMEM graph, engine tier -> {eng}"
+        extra += f"; S~8k scalability config, engine tier -> {eng}"
     if LONG:
         # report the mode the run ACTUALLY used: same s_pad / stream
         # count the dispatch derives (pallas_fact auto selection)

@@ -77,26 +77,41 @@ def fits_vmem(fa: FactorizedArrays, b_tile: int = 128) -> bool:
     Since the bwd kernel's recomputes became fwd-emitted streams, each
     sweep holds only its own operands: fwd = {W1, W2, E_f (+E_g)},
     bwd = {W1^T, W2^T, E_f^T (+E_g^T)} — near-mirror sets, so either
-    bounds the estimate.  Mosaic additionally charges ~1 f32 copy of
-    every tile in register-spill slots for the unrolled tile dots,
-    plus ~24 live (s_pad, b_tile) f32 values (carries, accumulators,
-    double-buffered stream blocks).  Beyond the budget, dispatch falls
-    back to the XLA factorized engine, which has no VMEM ceiling
-    (weights re-stream from HBM per frame).
+    bounds the estimate.  Beyond the budget, dispatch tiers to the
+    weight-streaming kernels, then the XLA factorized engine (which
+    has no VMEM ceiling at all).
+
+    RE-CALIBRATED against measured Mosaic behavior in round 4 (the
+    round-3 model — x6 spill pricing per tile + 24 live (s_pad,
+    b_tile) scratches — had gone stale: the resident kernels now
+    compile and run far past its boundary).  Metric = one side's raw
+    operand storage + one (s_pad, b_tile) f32 scratch unit; measured
+    separation at B=128, T=500, bigram-fanout-30 denominators:
+
+        bf16  S=5000..8000  23..48 MB  PASS (4154..2647 utts/s)
+        bf16  S=10000       71 MB      Mosaic OOM
+        f32   S=5000        44 MB      PASS (1171 utts/s)
+        f32   S=6000        57 MB      Mosaic OOM (used 144M/128M)
+        f32   S=8000        92 MB      Mosaic OOM (used 136M/128M)
+
+    A 50 MB budget classifies every measured point with margin on both
+    sides; tools/vmem_boundary.py re-verifies compile-or-fallback on
+    chip every sweep, so estimate drift shows up as a stage failure.
     """
+    itemsize = jnp.dtype(fa.w1.tiles.dtype).itemsize
+
     def _side(ws):
         tiles = sum(int(w.tiles.shape[0]) for w in ws)
         dense = sum(int(w.dense.shape[0]) * int(w.dense.shape[1])
                     for w in ws if w.dense is not None)
-        return tiles * 128 * 128 * 6 + dense * 3
+        return (tiles * 128 * 128 + dense) * itemsize
     fwd_ws = [fa.w1, fa.w2, fa.e_f]
     bwd_ws = [fa.w1t, fa.w2t, fa.e_ft]
     if fa.xsrc_mode != "identity":
         fwd_ws.append(fa.e_g)
         bwd_ws.append(fa.e_gt)
-    est = max(_side(fwd_ws), _side(bwd_ws)) \
-        + 24 * fa.s_pad * b_tile * 4
-    return est <= 90 * 1024 * 1024
+    est = max(_side(fwd_ws), _side(bwd_ws)) + fa.s_pad * b_tile * 4
+    return est <= 50 * 1000 * 1000
 
 
 class _WK:

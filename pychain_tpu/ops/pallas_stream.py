@@ -208,8 +208,17 @@ def fits_stream(fa: FactorizedArrays, b_tile: int = 128,
     stream to hide them behind.  The fwd and bwd sweeps hold
     near-mirror resident sets, so either bounds the estimate.
 
-    ``chunk_tiles`` must match what the kernel will actually allocate
-    (forward_backward_prob_stream re-checks against the same budget).
+    With an explicit ``chunk_tiles`` the estimate prices exactly what
+    the kernel will allocate (forward_backward_prob_stream re-checks
+    against the same budget).  With ``chunk_tiles=None`` the question
+    is DISPATCH ELIGIBILITY — "can ANY admissible chunk run this
+    graph?" — so the estimate uses the MINIMUM chunk auto_chunk_tiles
+    can clamp to (8).  Gating dispatch at the default CHUNK_TILES
+    instead cost a measured 2.7x: the S=5000 graph's resident set
+    only admits small chunks, fits_stream(=128) said no, dispatch fell
+    to the XLA scan at 1047 utts/s while the stream kernels at the
+    auto-clamped chunk 8 run 2802 (tools/vmem_boundary round-4 vs
+    docs/ab/stream_chunk_s5k.txt).
     All operands (including the float32-stored one-hot E matrices) are
     cast to W1's tile dtype by _WK/_WKStream before entering the
     kernel, so W1's itemsize prices the WHOLE resident set correctly in
@@ -219,7 +228,7 @@ def fits_stream(fa: FactorizedArrays, b_tile: int = 128,
     if itemsize is None:
         itemsize = jnp.dtype(fa.w1.tiles.dtype).itemsize
     if chunk_tiles is None:
-        chunk_tiles = CHUNK_TILES
+        chunk_tiles = 8           # dispatch gate: the minimum chunk
     n_w1 = int(fa.w1.tiles.shape[0])
     if n_w1 == 0:
         return False          # nothing to stream: resident or XLA

@@ -12,7 +12,7 @@ the report pins the resident->stream handoff in the S=3000-8000 band
 (the cliff that used to slide 1052->500->256 utts/s onto the XLA scan
 before the stream tier existed, SWEEP_r3 vmem_boundary).
 
-Usage: python tools/vmem_boundary.py [--phones 1500,2000,2500,3000,4000]
+Usage: python tools/vmem_boundary.py [--phones 1500,...,5000]
 Writes /tmp/vmem_boundary.json; exit 0 when every size ran clean.
 """
 import argparse
@@ -29,7 +29,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phones", default="1500,2000,2500,3000,4000")
+    ap.add_argument("--phones", default="1500,2000,2500,3000,4000,5000")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="/tmp/vmem_boundary.json")
     args = ap.parse_args()
