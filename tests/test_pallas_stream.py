@@ -259,18 +259,22 @@ from pychain_tpu.ops.pallas_fact import fits_vmem
 from pychain_tpu.ops.pallas_stream import fits_stream
 from pychain_tpu.utils.testgraphs import denominator_fst
 
-# beyond-VMEM denominator (S~8000 class, scaled down for test runtime)
+# S~8000 denominator.  Since the round-4 fits_vmem recalibration this
+# class dispatches RESIDENT; the streamed kernels are FORCED here —
+# the test's purpose is real Mosaic compilation + parity of the
+# stream path, not dispatch (covered by test_auto_dispatch_tpu_tiers)
 fst, P = denominator_fst(num_phones=4000, states_per_phone=2,
                          bigram_fanout=30, seed=0)
 den = ChainGraph(fst, log_domain=False)
 B, T = 16, 50
 batch = ChainGraphBatch(den, B, tile_dtype="bfloat16")
 fa = batch._fact
-assert not fits_vmem(fa), "fixture must exceed the resident budget"
 assert fits_stream(fa), "fixture must fit the stream budget"
+assert int(fa.w1.tiles.shape[0]) > 0, "fixture must have a tile stream"
+# dispatch sanity: the Pallas tiering serves this graph (either tier)
+assert dispatch_arrays(batch, "auto").engine in ("pallas", "stream")
 
-g = dispatch_arrays(batch, "auto")
-assert g.engine == "stream", g.engine
+g = dataclasses.replace(fa, engine="stream")
 
 x = jax.random.normal(jax.random.PRNGKey(0), (B, T, P), jnp.float32)
 lengths = jnp.full((B,), T, jnp.int32)
