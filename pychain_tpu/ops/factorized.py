@@ -89,6 +89,13 @@ class FactorizedArrays:
     # per-frame logsumexp shifts.
     log_semantics: bool = dataclasses.field(default=False,
                                             metadata=dict(static=True))
+    # (2,) f32 [arc_shift, const_shift] when the log_semantics weights
+    # were re-centered into the f32 exp-safe band (unnormalized graphs:
+    # exp of a log-weight outside ~[-87, 88] silently under/overflows —
+    # ADVICE r4).  Every length-L path was rescaled by
+    # exp(-(arc_shift*L + const_shift)); loss._run adds the correction
+    # back onto objf.  None for graphs already inside the band.
+    log_shifts: Optional[jax.Array] = None
 
     @property
     def s_pad(self) -> int:

@@ -666,6 +666,14 @@ def forward_backward_prob_stream(px, lengths, fa: FactorizedArrays,
         b_tile = min(b_tile, B)
         while B % b_tile:
             b_tile //= 2
+    if not fits_stream(fa, b_tile, chunk_tiles=chunk_tiles):
+        # even the minimum chunk cannot fit this graph's resident set:
+        # a direct (non-dispatch) call would otherwise walk into a
+        # Mosaic VMEM OOM (ADVICE r4) — take the ceiling-free XLA
+        # engine instead, which is semantics-identical
+        from .factorized import forward_backward_prob_fact
+        return forward_backward_prob_fact(px, lengths, fa,
+                                          leaky_coefficient)
     s_pad = fa.s_pad
     lengths = lengths.astype(jnp.int32)
 

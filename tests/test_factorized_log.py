@@ -154,12 +154,17 @@ def test_auto_dispatch_prefers_fact_beyond_dense(monkeypatch):
         assert g.log_semantics
 
 
-def test_dense_engine_still_preferred_within_budget():
-    """Small shared cyclic graphs keep the proven dense semiring
-    engine; the factorized-log path only takes over beyond it."""
+def test_factorized_log_preferred_for_broadcast():
+    """Shared (broadcast) cyclic log-domain batches dispatch to the
+    factorized-log engine at every size — the dense one-hot semiring
+    arrays are not even built for them (round 5, ADVICE r4: they were
+    B duplicated copies of one graph, and the factorized path is the
+    measured fast engine for shared graphs).  List batches keep the
+    semiring engine (test_semiring.py)."""
     batch = _shared_batch()
-    from pychain_tpu.ops.semiring import SemiringArrays
-    assert isinstance(dispatch_arrays(batch, "auto"), SemiringArrays)
+    assert batch._semiring is None
+    g = dispatch_arrays(batch, "auto")
+    assert isinstance(g, FactorizedArrays) and g.log_semantics
 
 
 def test_semiring_pallas_supports_prices_lane_padding():
