@@ -63,7 +63,7 @@ from pychain_tpu.utils.testgraphs import denominator_fst
 
 def make_synthetic_corpus(data_dir, utts=96, feat_dim=40, num_phones=24,
                           min_t=40, max_t=90, seed=0, graphs="random",
-                          num_style="aligned"):
+                          num_style="aligned", signal=2.0):
     """``graphs="random"`` reproduces Kaldi-built artifacts with the
     synthetic generators; ``graphs="built"`` runs the FULL native
     pipeline instead — sample phone transcripts, estimate a bigram
@@ -104,7 +104,7 @@ def make_synthetic_corpus(data_dir, utts=96, feat_dim=40, num_phones=24,
             seq = alignment_to_pdf_sequence(phones, durs, topo)
             t_len = len(seq)
             f = rng.randn(t_len, feat_dim).astype(np.float32) * 0.5
-            f[np.arange(t_len), np.asarray(seq) % feat_dim] += 2.0
+            f[np.arange(t_len), np.asarray(seq) % feat_dim] += signal
             feats[key] = f
             if num_style == "aligned":
                 fsts[key] = FST.linear(seq)
@@ -121,7 +121,7 @@ def make_synthetic_corpus(data_dir, utts=96, feat_dim=40, num_phones=24,
             key = f"utt{i:04d}"
             pdfs = rng.randint(0, P, size=t_len)
             f = rng.randn(t_len, feat_dim).astype(np.float32) * 0.5
-            f[np.arange(t_len), pdfs % feat_dim] += 2.0  # learnable signal
+            f[np.arange(t_len), pdfs % feat_dim] += signal  # learnable signal
             feats[key] = f
             fsts[key] = FST.linear(pdfs)
     den_fst.write(os.path.join(data_dir, "den.fst"))
@@ -258,6 +258,18 @@ def main():
                     help="steps excluded from the steady-state "
                          "throughput report (jit compilation)")
     ap.add_argument("--dp", action="store_true")
+    ap.add_argument("--signal", type=float, default=2.0,
+                    help="synthetic-corpus emission signal strength: "
+                         "the feature-column spike over N(0,0.5) "
+                         "noise; lower = more confusable task (the "
+                         "PER quality gate uses 1.2 so the gate can "
+                         "actually fail)")
+    ap.add_argument("--eval-per-untrained", action="store_true",
+                    help="with --eval-per: also decode with the "
+                         "UNTRAINED (freshly initialized) model first "
+                         "and print its PER — proves the gate is "
+                         "falsifiable (an untrained model must score "
+                         "far above it)")
     ap.add_argument("--eval-per", action="store_true",
                     help="after training, Viterbi-decode the corpus "
                          "(decode.PhoneDecoder over a bigram phone LM "
@@ -311,7 +323,8 @@ def main():
                                          min_t=args.corpus_min_t,
                                          max_t=args.corpus_max_t,
                                          graphs=args.synthetic_graphs,
-                                         num_style=args.num_style)
+                                         num_style=args.num_style,
+                                         signal=args.signal)
 
     keys, feats, nums, den_graph = load_corpus(data_dir)
     feat_dim = feats[0].shape[1]
@@ -338,6 +351,7 @@ def main():
 
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, max_t, feat_dim)), train=False)
+    init_params = params    # kept for --eval-per-untrained
     # clip-then-adam, the Kaldi-recipe shape: chain gradients spike on
     # hard minibatches early in training; unclipped adam at lr>=1e-3
     # diverges to NaN at headline scale (measured round 3).  The
@@ -436,9 +450,11 @@ def main():
             "x": jnp.asarray(x_all),
             "lens": jnp.asarray(lens_all_np),
             "nums": all_nums,
-            "den": dispatch_arrays(den_batches[args.batch_size],
-                                   impl="pallas" if tile_dtype
-                                   else "auto"),
+            # "auto" rides the Pallas tiers on a TPU backend in the
+            # graph's OWN tile dtype (round-4 dispatch), and the XLA
+            # engines off-TPU — forcing "pallas" here would run the
+            # interpreter on CPU CI
+            "den": dispatch_arrays(den_batches[args.batch_size]),
         }
         if args.dp:
             # dp x device-corpus: the corpus is staged REPLICATED on
@@ -483,9 +499,7 @@ def main():
             if bkey not in den_batches:
                 den_batches[bkey] = ChainGraphBatch(
                     den_graph, bkey, tile_dtype=tile_dtype)
-            den_g = dispatch_arrays(
-                den_batches[bkey],
-                impl="pallas" if tile_dtype else "auto")
+            den_g = dispatch_arrays(den_batches[bkey])
             num_g = dispatch_arrays(num_batch)
             t1 = time.time()
             x_j, lens_j = jnp.asarray(x), jnp.asarray(lens)
@@ -712,17 +726,27 @@ def main():
                                num_phones=n_ph, order=2)
         dec = PhoneDecoder(lm, ChainTopology(num_phones=n_ph))
         bs = args.batch_size
-        hyps = []
-        for i0 in range(0, len(order), bs):
-            chunk = order[i0:i0 + bs]
-            padded = chunk + [chunk[-1]] * (bs - len(chunk))
-            t_pad = max(e_feats[i].shape[0] for i in padded)
-            x, lens = pad_to_bucket(e_feats, padded, t_pad)
-            x_j, lens_j = jnp.asarray(x), jnp.asarray(lens)
-            out = apply_model(params, x_j, lens_j)
-            res = dec(out, lens_j)
-            hyps.extend(res.phones[:len(chunk)])
-        per = phone_error_rate([refs[e_keys[i]] for i in order], hyps)
+
+        def _decode_per(p):
+            hyps = []
+            for i0 in range(0, len(order), bs):
+                chunk = order[i0:i0 + bs]
+                padded = chunk + [chunk[-1]] * (bs - len(chunk))
+                t_pad = max(e_feats[i].shape[0] for i in padded)
+                x, lens = pad_to_bucket(e_feats, padded, t_pad)
+                x_j, lens_j = jnp.asarray(x), jnp.asarray(lens)
+                out = apply_model(p, x_j, lens_j)
+                res = dec(out, lens_j)
+                hyps.extend(res.phones[:len(chunk)])
+            return phone_error_rate(
+                [refs[e_keys[i]] for i in order], hyps)
+
+        if args.eval_per_untrained:
+            # falsifiability proof for the gate: the untrained model
+            # must score far ABOVE any sane threshold on this task
+            per0 = _decode_per(init_params)
+            print(f"untrained PER {per0:.4f} over {len(order)} utts")
+        per = _decode_per(params)
         print(f"eval PER {per:.4f} over {len(order)} utts")
     if not np.isfinite(float(loss)):
         print("WARNING: final loss is not finite — training diverged. "

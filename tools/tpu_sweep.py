@@ -181,21 +181,33 @@ def main():
     ok &= r["rc"] == 0
     print(f"[vmem_boundary] rc={r['rc']} {r['secs']}s", file=sys.stderr)
 
-    # end-to-end QUALITY gate on chip (VERDICT r3 #8): train the
-    # flagship recipe on a built synthetic corpus, decode, and require
-    # phone error rate under the same 0.05 threshold the CI smoke pins
+    # end-to-end QUALITY gate on chip, hardened round 5 (VERDICT r4
+    # #6): confusable task (24 phones, 48 pdfs aliased on 40 feature
+    # dims, signal 1.2) so the trained model sits mid-band instead of
+    # saturating at 0; the untrained model must score >= 0.5 in the
+    # same run (falsifiability), and the chip run uses bf16 tiles so
+    # the gate prices the THROUGHPUT mode's quality (CPU CI pins the
+    # f32 and bf16 variants at the same thresholds).
     r = run([sys.executable, "examples/train_corpus.py",
              "--synthetic-graphs", "built", "--num-style", "aligned",
-             "--corpus-utts", "32", "--corpus-phones", "12",
+             "--corpus-utts", "32", "--corpus-phones", "24",
+             "--signal", "1.2", "--tile-dtype", "bfloat16",
              "--steps", "60", "--batch-size", "8", "--warmup-steps", "2",
-             "--diag-every", "0", "--eval-per"], timeout=3000)
+             "--diag-every", "0", "--eval-per", "--eval-per-untrained"],
+            timeout=3000)
     m = re.search(r"eval PER (\d+\.\d+)", r.get("stdout", ""))
+    m0 = re.search(r"untrained PER (\d+\.\d+)", r.get("stdout", ""))
     r["per"] = float(m.group(1)) if m else None
-    gate_ok = r["rc"] == 0 and r["per"] is not None and r["per"] <= 0.05
+    r["per_untrained"] = float(m0.group(1)) if m0 else None
+    gate_ok = (r["rc"] == 0 and r["per"] is not None
+               and r["per"] <= 0.15
+               and r["per_untrained"] is not None
+               and r["per_untrained"] >= 0.5)
     r["rc"] = r["rc"] if gate_ok else (r["rc"] or 1)
     report["stages"]["per_gate"] = r
     ok &= gate_ok
-    print(f"[per_gate] rc={r['rc']} PER={r['per']} {r['secs']}s",
+    print(f"[per_gate] rc={r['rc']} PER={r['per']} "
+          f"(untrained {r['per_untrained']}) {r['secs']}s",
           file=sys.stderr)
 
     code = ("import jax, __graft_entry__ as g; fn, a = g.entry(); "
