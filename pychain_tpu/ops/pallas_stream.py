@@ -46,7 +46,49 @@ from .factorized import FactorizedArrays, WArrays, px_time_major
 from .fwdbwd import FwdBwdResult
 from .pallas_fact import (BF, VMEM_LIMIT, _WK, _interpret, _length_masks,
                           _end_flags_of, _objf_pallas, _package_result,
-                          supports, STREAM_BUDGET)
+                          supports)
+
+def stream_hbm_budget() -> int:
+    """HBM byte budget for the fwd->bwd aux streams of ONE stream-engine
+    call: 40% of the device's memory capacity when the backend reports
+    it, else 6 GiB (v5e-class).  The remainder holds the activations
+    (x, exp(x), the (T, P, B) posterior, the input gradient) plus the
+    graph itself.  Round-4's fixed 4 GiB budget silently cut the stream
+    engine off at s_pad 8448 (B=128, T=500, bf16: 4 streams cross
+    4 GiB between s_pad 8320 and 8448) — measured as a cliff from 1351
+    to 228 utts/s that was actually the XLA fallback running."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        cap = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+        if cap:
+            return int(cap * 0.40)
+    except Exception:  # noqa: BLE001 — backend without memory_stats
+        pass
+    return 6 * 1024 ** 3
+
+
+_stream_fallback_warned = False
+
+
+def _warn_stream_fallback(T, s_pad, B, stream_bytes):
+    global _stream_fallback_warned
+    from ..utils.diagnostics import get_verbose_level
+    msg = (f"pychain_tpu: stream engine fwd->bwd aux streams "
+           f"({stream_bytes / 1e9:.1f} GB at T={T}, s_pad={s_pad}, "
+           f"B={B}) exceed the HBM budget "
+           f"({stream_hbm_budget() / 1e9:.1f} GB); falling back to the "
+           "XLA factorized engine (typically ~6x slower at this "
+           "scale).  Reduce the batch or frame count per call to "
+           "re-enter the weight-streaming kernels.")
+    if get_verbose_level() >= 1:
+        import sys as _sys
+        print(msg, file=_sys.stderr)
+    if not _stream_fallback_warned:
+        _stream_fallback_warned = True
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
 
 # tiles per streamed chunk: 128 x (128, 128) bf16 = 4 MiB per buffer.
 # Measured on chip at the S=8000 bench graph (B=64 T=300, ms/batch):
@@ -681,7 +723,16 @@ def forward_backward_prob_stream(px, lengths, fa: FactorizedArrays,
     sd = BF if mm == BF else jnp.float32
 
     n_streams = (3 if fa.xsrc_mode == "identity" else 4) + 1  # + px
-    if n_streams * T * s_pad * B * jnp.dtype(sd).itemsize > STREAM_BUDGET:
+    stream_bytes = n_streams * T * s_pad * B * jnp.dtype(sd).itemsize
+    if stream_bytes > stream_hbm_budget():
+        # the fwd->bwd aux streams would not fit HBM next to the
+        # activations: fall back to the ceiling-free XLA engine —
+        # LOUDLY.  (Rounds 3-4 shipped this fallback silent at a fixed
+        # 4 GiB, and the resulting ~6x "collapse" at s_pad >= 8448,
+        # B=128, T=500 was mis-diagnosed as a Mosaic-level kernel
+        # pathology for two rounds; every "eliminated hypothesis" was
+        # flat because the kernels never ran.  docs/DESIGN.md round-5.)
+        _warn_stream_fallback(T, s_pad, B, stream_bytes)
         from .factorized import forward_backward_prob_fact
         return forward_backward_prob_fact(px, lengths, fa,
                                           leaky_coefficient)

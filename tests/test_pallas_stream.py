@@ -121,20 +121,33 @@ def test_fits_stream_gates(setup):
 def test_stream_budget_fallback(setup, monkeypatch):
     """When the fwd->bwd aux streams exceed the HBM budget, the entry
     falls back to the XLA factorized engine at trace time (same
-    result, no pallas_call)."""
+    result, no pallas_call) — and WARNS: round 3-4 shipped this
+    fallback silent, and the resulting cliff was mis-diagnosed as a
+    Mosaic kernel pathology for two rounds."""
     batch, fa, x, lengths, P = setup
-    monkeypatch.setattr("pychain_tpu.ops.pallas_stream.STREAM_BUDGET", 1)
-    called = {}
     import pychain_tpu.ops.pallas_stream as ps
+    monkeypatch.setattr(ps, "stream_hbm_budget", lambda: 1)
+    monkeypatch.setattr(ps, "_stream_fallback_warned", False)
+    called = {}
     orig = ps._fwd_stream
     monkeypatch.setattr(ps, "_fwd_stream",
                         lambda *a, **k: called.setdefault("hit", True)
                         or orig(*a, **k))
     ref = forward_backward_prob_fact(x, lengths, fa)
-    got = ps.forward_backward_prob_stream(x, lengths, fa)
+    with pytest.warns(RuntimeWarning, match="HBM budget"):
+        got = ps.forward_backward_prob_stream(x, lengths, fa)
     assert "hit" not in called
     np.testing.assert_allclose(np.asarray(got.objf), np.asarray(ref.objf),
                                rtol=1e-6)
+
+
+def test_stream_hbm_budget_scales_past_round4_cliff():
+    """The budget must admit the round-4 'collapse' class: 4 bf16
+    streams at B=128, T=500, s_pad=10112 (5.18 GB) — the sizes whose
+    silent 4 GiB fallback masqueraded as a Mosaic cliff."""
+    import pychain_tpu.ops.pallas_stream as ps
+    assert ps.stream_hbm_budget() >= 5 * 1024 ** 3 or \
+        jax.devices()[0].memory_stats() is not None
 
 
 def test_wkstream_chunking_roundtrip(setup):

@@ -335,14 +335,18 @@ def test_shared_log_domain_broadcast_streamed(monkeypatch):
 
 
 def test_shared_log_domain_broadcast_dense_engines():
-    """The broadcast ctor now runs the same engine detection as the
-    list ctor: a shared LINEAR graph builds the closed-form arrays, a
-    small shared cyclic graph builds the dense semiring engine."""
+    """The broadcast ctor runs the same engine detection as the list
+    ctor for the special classes: a shared LINEAR graph builds the
+    closed-form arrays (broadcast on device).  A shared CYCLIC graph
+    no longer builds the dense semiring arrays — the factorized-log
+    path serves it (round 5, ADVICE r4)."""
     from pychain_tpu.utils.testgraphs import linear_fst
     lin = ChainGraph(linear_fst([1, 2, 3]), log_domain=True)
     b_lin = ChainGraphBatch(lin, 3)
     assert b_lin._linear is not None
+    assert b_lin._linear.pdf_seq.shape[0] == 3
     cyc = ChainGraph(random_fst(num_states=5, num_pdfs=4, seed=79),
                      log_domain=True)
     b_cyc = ChainGraphBatch(cyc, 3)
-    assert b_cyc._semiring is not None
+    assert b_cyc._semiring is None
+    assert b_cyc._fact is not None and b_cyc._fact.log_semantics

@@ -41,6 +41,7 @@ def main():
     engine = _arg("--engine", "stream")
     b_tile = int(_arg("--btile", 0))       # 0 = engine default
     chunk_arg = int(_arg("--chunk", 0))    # 0 = auto
+    vmem_mb = int(_arg("--vmem", 0))       # 0 = module default
 
     import jax
     import jax.numpy as jnp
@@ -50,6 +51,9 @@ def main():
     from pychain_tpu.utils.testgraphs import denominator_fst
 
     print(f"# backend: {jax.default_backend()}", file=sys.stderr)
+    if vmem_mb:
+        pallas_stream.VMEM_LIMIT = vmem_mb * 1024 * 1024
+        print(f"# vmem_limit_bytes -> {vmem_mb} MB", file=sys.stderr)
     rng = np.random.RandomState(0)
     results = []
     for s_target in spads:
