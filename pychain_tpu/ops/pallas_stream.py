@@ -290,7 +290,15 @@ def fits_stream(fa: FactorizedArrays, b_tile: int = 128,
         + dense_w1 * 3 * itemsize \
         + 2 * chunk_tiles * 128 * 128 * itemsize \
         + 9 * fa.s_pad * b_tile * 4
-    return est <= 80 * 1024 * 1024
+    # Budget re-calibrated round 5: the old 80 MB gate clamped
+    # auto_chunk to 64 at s_pad 9088 (est 83 MB at chunk 128) and the
+    # G=21 grid-step overhead cost 3.4x — measured 368 utts/s clamped
+    # vs 1261 at the forced chunk 128, which Mosaic compiles and runs
+    # without complaint under the 100 MB vmem limit
+    # (docs/ab/stream_cliff_forced.json).  92 MB keeps an 8 MB margin
+    # under the limit; tools/vmem_boundary.py re-verifies
+    # compile-or-fallback on chip every sweep.
+    return est <= 92 * 1024 * 1024
 
 
 # ----------------------------------------------------------------------

@@ -39,9 +39,11 @@ def main():
     T = int(_arg("--t", 500))
     iters = int(_arg("--iters", 10))
     engine = _arg("--engine", "stream")
+    pdfs = int(_arg("--pdfs", 0))          # 0 = generator default (2*phones)
     b_tile = int(_arg("--btile", 0))       # 0 = engine default
     chunk_arg = int(_arg("--chunk", 0))    # 0 = auto
     vmem_mb = int(_arg("--vmem", 0))       # 0 = module default
+    force = "--force" in sys.argv          # bypass fits_stream clamps
 
     import jax
     import jax.numpy as jnp
@@ -54,6 +56,10 @@ def main():
     if vmem_mb:
         pallas_stream.VMEM_LIMIT = vmem_mb * 1024 * 1024
         print(f"# vmem_limit_bytes -> {vmem_mb} MB", file=sys.stderr)
+    if force:
+        pallas_stream.fits_stream = lambda *a, **k: True
+        print("# fits_stream forced True (measuring Mosaic's real "
+              "ceiling)", file=sys.stderr)
     rng = np.random.RandomState(0)
     results = []
     for s_target in spads:
@@ -61,7 +67,8 @@ def main():
         t0 = time.time()
         den_fst, P = denominator_fst(num_phones=phones,
                                      states_per_phone=2, seed=0,
-                                     bigram_fanout=30)
+                                     bigram_fanout=30,
+                                     num_pdfs=pdfs or None)
         den = ChainGraph(den_fst, log_domain=False)
         batch = ChainGraphBatch(den, B, tile_dtype="bfloat16")
         fa = batch._fact
