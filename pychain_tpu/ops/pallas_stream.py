@@ -286,10 +286,15 @@ def fits_stream(fa: FactorizedArrays, b_tile: int = 128,
         bwd_ws.append(fa.e_gt)
     dense_w1 = (0 if fa.w1.dense is None
                 else int(fa.w1.dense.shape[0]) * int(fa.w1.dense.shape[1]))
+    # 7 (s_pad, b_tile) f32 units after the round-5 scratch trim
+    # (x_dst/x_src copies and the b_next buffer are gone: inputs are
+    # read from their VMEM blocks, b_next recomputes from the frozen
+    # bd carry) — this is what admits chunk 128 through s_pad 10112
+    # (est 82.8 MB; measured 331.5 utts/s vs 169.6 at the c64 clamp).
     est = max(_side(fwd_ws), _side(bwd_ws)) \
         + dense_w1 * 3 * itemsize \
         + 2 * chunk_tiles * 128 * 128 * itemsize \
-        + 9 * fa.s_pad * b_tile * 4
+        + 7 * fa.s_pad * b_tile * 4
     # Budget re-calibrated round 5: the old 80 MB gate clamped
     # auto_chunk to 64 at s_pad 9088 (est 83 MB at chunk 128) and the
     # G=21 grid-step overhead cost 3.4x — measured 368 utts/s clamped
@@ -489,8 +494,15 @@ def _bwd_kernel_factory(w1ts, w2t, eft, egt, identity, T, G, s_pad,
             xsrc_ref = refs[o]; o += 1
         gamma_out, ab_out, gs_out = refs[o:o + 3]
         o += 3
-        bd, acc, acc2, gacc, xb_scr, bn_scr, xdst_scr = refs[o:o + 7]
-        xsrc_scr = refs[o + 7] if not identity else None
+        bd, acc, acc2, gacc, xb_scr = refs[o:o + 5]
+
+        def b_next_of(bd_eff):
+            # beta'(u+1) with the leaky term: recomputed from the bd
+            # carry (frozen across the frame's chunk steps) instead of
+            # held in its own (s_pad, b_tile) scratch — scoped VMEM is
+            # the scarce resource past s_pad~9000 (round-5 trim)
+            return bd_eff + leaky_c * jnp.sum(
+                bd_eff * leaky_col, axis=0, keepdims=True)
 
         t = pl.program_id(1)
         g = pl.program_id(2)
@@ -511,15 +523,13 @@ def _bwd_kernel_factory(w1ts, w2t, eft, egt, identity, T, G, s_pad,
                 eq = m_ref[0, 0:1, :]
                 neq = m_ref[0, 1:2, :]
                 bd[:] = bd[:] * neq + bdfin_ref[:] * eq
-            bd_eff = bd[:]
-            b_next = bd_eff + leaky_c * jnp.sum(
-                bd_eff * leaky_col, axis=0, keepdims=True)
-            bn_scr[:] = b_next
-            xdst = xdst_ref[0].astype(jnp.float32)
-            xdst_scr[:] = xdst
-            if xsrc_scr is not None:
-                xsrc_scr[:] = xsrc_ref[0].astype(jnp.float32)
-            xb_scr[:] = xdst * b_next
+            # x_dst (x_src) are read straight from their input blocks
+            # (resident in VMEM for the whole frame's chunk steps),
+            # and b_next is recomputed from the frozen bd carry at the
+            # frame epilogue — scratch copies of either cost
+            # (s_pad, b_tile) f32 buffers of scoped VMEM for nothing
+            # (round-5 trim)
+            xb_scr[:] = xdst_ref[0].astype(jnp.float32) * b_next_of(bd[:])
             w1ts.apply_resident(w1r_refs, xb_scr[:], acc)
 
         # chunk g of the W1^T tile stream: acc += W1^T_g @ xb
@@ -527,9 +537,10 @@ def _bwd_kernel_factory(w1ts, w2t, eft, egt, identity, T, G, s_pad,
 
         @pl.when(g == G - 1)
         def _():
-            b_next = bn_scr[:]
+            b_next = b_next_of(bd[:])
             xb = xb_scr[:]
-            xsrc = xsrc_scr[:] if xsrc_scr is not None else xdst_scr[:]
+            xsrc = (xsrc_ref[0] if xsrc_ref is not None
+                    else xdst_ref[0]).astype(jnp.float32)
             init_col = init_ref[:]
             s0 = jnp.sum(init_col)
             ad0 = jnp.broadcast_to(init_col + leaky_c * s0 * leaky_col,
@@ -648,10 +659,7 @@ def _bwd_stream(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
         pltpu.VMEM((p_pad, b_tile), jnp.float32),         # gamma acc
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # xb
         pltpu.VMEM((s_pad, b_tile), jnp.float32),         # b_next
-        pltpu.VMEM((s_pad, b_tile), jnp.float32),         # x_dst
     ]
-    if not identity:
-        scratch.append(pltpu.VMEM((s_pad, b_tile), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(nb, T, G),
