@@ -72,13 +72,17 @@ XL_VMEM_BUDGET = 60 * 1024 * 1024
 # ~24 MB, leaving room for the streamed rows' double buffers.
 XL_STREAM_MASK_BUDGET = 24 * 1024 * 1024
 # Streamed-XL eligibility ceiling on the state axis.  Its domain is
-# LIST batches (per-sequence graphs), where the gather engine pays
-# ~105 ns/arc on per-row indices: per-frame dense work is O(S*K) VPU
-# ops, so the breakeven against list-gather sits near S ~ 30k and 8192
-# keeps a ~4x margin.  SHARED broadcast graphs never reach this tier —
-# they factorize and dispatch to the factorized-log path instead
-# (measured 27.3x gather on chip where these dense masks measured
-# 0.2x: shared-index gathers vectorize to ~1.9 ns/arc, docs/DESIGN.md).
+# LIST batches (per-sequence graphs); per-frame dense work is O(S*K)
+# VPU ops, so the per-arc cost grows with S while the gather engine's
+# is flat.  Measured IN-DOMAIN on chip (round 5,
+# docs/ab/xl_stream_indomain.json: B=32, S=3500, K=7091, T=150):
+# streamed-XL 8.33 ns/arc vs list-gather 61 ns/arc = 7.33x end-to-end
+# (objf rel diff 3e-06), putting the measured breakeven at
+# S ~ 3500 * 61/8.33 ~ 25.6k; 8192 keeps a ~3x margin.  SHARED
+# broadcast graphs never reach this tier — they factorize and dispatch
+# to the factorized-log path instead (measured 27.3x gather on chip
+# where these dense masks measured 0.2x: shared-index gathers
+# vectorize to ~1.9 ns/arc, docs/DESIGN.md).
 XL_STREAM_MAX_S = 8192
 
 # Emission/posterior one-hot matmuls are chunked over the batch so the
