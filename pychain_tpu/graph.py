@@ -203,6 +203,7 @@ class ChainGraphBatch:
     def _init_by_one(self, graph: ChainGraph):
         self.log_domain = graph.log_domain
         self._semiring_xl = None
+        self._dense_list = None
         self.shared = True
         self._linear = None
         self._leveled = None
@@ -359,6 +360,7 @@ class ChainGraphBatch:
         self._leveled = None
         self._semiring = None
         self._semiring_xl = None  # built lazily on first dispatch
+        self._dense_list = None   # prob-domain lists: lazy, like XL
         # keep the source graphs (references, cheap) so a forced
         # impl="leveled"/"semiring" can compile its engine lazily even
         # when auto-detection selected a different one
@@ -499,7 +501,8 @@ class ChainGraphBatch:
         # the compiled fast-path engines are per-sequence too (every
         # leaf is batch-leading) — a stale copy here would silently pair
         # graphs with the wrong sequences under impl="auto"
-        for name in ("_linear", "_leveled", "_semiring", "_semiring_xl"):
+        for name in ("_linear", "_leveled", "_semiring", "_semiring_xl",
+                     "_dense_list"):
             v = getattr(self, name)
             if v is not None:
                 setattr(self, name,
@@ -517,7 +520,7 @@ class ChainGraphBatch:
                "_bwd_src", "_bwd_dst", "_bwd_pdf", "_bwd_prob",
                "_initial", "_final", "_leaky", "_fwd_indices",
                "_bwd_indices", "_start", "_fact", "_linear", "_leveled",
-               "_semiring", "_semiring_xl")
+               "_semiring", "_semiring_xl", "_dense_list")
 
     def tree_flatten(self):
         children = tuple(getattr(self, n) for n in self._leaves)

@@ -56,37 +56,53 @@ def main():
     max_s = max(g.num_states for g in graphs)
     batch = ChainGraphBatch(graphs, max_num_transitions=max_k,
                             max_num_states=max_s)
-    g = dispatch_arrays(batch, "gather")
     print(f"# B={B} S={max_s} K={max_k} T={T} P={P}", file=sys.stderr)
 
     x = jnp.asarray(rng.randn(B, T, P).astype(np.float32) * 0.2)
     lengths = jnp.asarray(
         np.clip(rng.randint(T // 2, T + 1, size=B), 1, T).astype(
             np.int32))
-    vg = jax.jit(jax.value_and_grad(
-        lambda xx: chain_function(xx, lengths, g)))
-    t0 = time.time()
-    loss, grad = vg(x)
-    _ = float(loss) + float(np.asarray(grad)[0, 0, 0])
-    compile_s = round(time.time() - t0, 1)
-    t0 = time.time()
-    for _ in range(iters):
-        l, gr = vg(x)
-    _ = float(l) + float(np.asarray(gr)[0, 0, 0])
-    dt = (time.time() - t0) / iters
+
+    def bench(impl):
+        g = dispatch_arrays(batch, impl)
+        # the graph pytree must be a jit ARGUMENT: closed-over device
+        # arrays become embedded HLO constants, and the dense blocks
+        # (hundreds of MB) overflow the remote-compile request
+        vg = jax.jit(jax.value_and_grad(
+            lambda xx, gg: chain_function(xx, lengths, gg)))
+        t0 = time.time()
+        loss, grad = vg(x, g)
+        _ = float(loss) + float(np.asarray(grad)[0, 0, 0])
+        compile_s = round(time.time() - t0, 1)
+        t0 = time.time()
+        for _ in range(iters):
+            l, gr = vg(x, g)
+        _ = float(l) + float(np.asarray(gr)[0, 0, 0])
+        dt = (time.time() - t0) / iters
+        return dt, compile_s, float(loss)
+
     arcs_total = 2 * B * T * max_k
     dense_bytes = 2 * 2 * B * max_s * max_s * 2 * T  # fwd+bwd, 2 mats, bf16
+    dt_g, cs_g, objf_g = bench("gather")
+    dt_d, cs_d, objf_d = bench("dense_list")
     rec = dict(B=B, S=max_s, K=max_k, T=T, P=P,
-               compile_s=compile_s,
-               gather_ms=round(dt * 1e3, 1),
-               gather_utts_s=round(B / dt, 1),
-               gather_ns_arc=round(dt / arcs_total * 1e9, 2),
+               gather_compile_s=cs_g,
+               gather_ms=round(dt_g * 1e3, 1),
+               gather_utts_s=round(B / dt_g, 1),
+               gather_ns_arc=round(dt_g / arcs_total * 1e9, 2),
+               dense_compile_s=cs_d,
+               dense_ms=round(dt_d * 1e3, 1),
+               dense_utts_s=round(B / dt_d, 1),
                dense_roofline_s=round(dense_bytes / 800e9, 2),
-               objf=float(loss))
+               speedup=round(dt_g / dt_d, 2),
+               objf_rel_diff=abs(objf_d - objf_g) / abs(objf_g),
+               objf=objf_g)
     print(f"# gather: {rec['gather_ms']} ms/batch = "
           f"{rec['gather_utts_s']} utts/s ({rec['gather_ns_arc']} "
-          f"ns/arc); dense-alternative HBM roofline "
-          f"{rec['dense_roofline_s']}s/batch", file=sys.stderr)
+          f"ns/arc); dense_list: {rec['dense_ms']} ms/batch = "
+          f"{rec['dense_utts_s']} utts/s -> {rec['speedup']}x "
+          f"(roofline {rec['dense_roofline_s']}s/batch, objf rel diff "
+          f"{rec['objf_rel_diff']:.2e})", file=sys.stderr)
     out = _arg("--out", "/tmp/prob_list_gather.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
