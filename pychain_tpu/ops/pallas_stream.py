@@ -295,15 +295,20 @@ def fits_stream(fa: FactorizedArrays, b_tile: int = 128,
         + dense_w1 * 3 * itemsize \
         + 2 * chunk_tiles * 128 * 128 * itemsize \
         + 7 * fa.s_pad * b_tile * 4
-    # Budget re-calibrated round 5: the old 80 MB gate clamped
-    # auto_chunk to 64 at s_pad 9088 (est 83 MB at chunk 128) and the
-    # G=21 grid-step overhead cost 3.4x — measured 368 utts/s clamped
-    # vs 1261 at the forced chunk 128, which Mosaic compiles and runs
-    # without complaint under the 100 MB vmem limit
-    # (docs/ab/stream_cliff_forced.json).  92 MB keeps an 8 MB margin
-    # under the limit; tools/vmem_boundary.py re-verifies
-    # compile-or-fallback on chip every sweep.
-    return est <= 92 * 1024 * 1024
+    # Budget re-calibrated round 5, twice.  First: the old 80 MB gate
+    # clamped auto_chunk to 64 at s_pad 9088 (est 83 MB at chunk 128)
+    # and the G=21 grid-step overhead cost 3.4x — measured 368 utts/s
+    # clamped vs 1261 at the forced chunk 128
+    # (docs/ab/stream_cliff_forced.json).  Second: the s_pad>9300
+    # "residual slide" died under LARGE chunks, and the measured
+    # efficient band extends to est ~101 MB — at s_pad 10112 chunk 400
+    # (est 100.6 MB) runs 1143 utts/s under the default 100 MB vmem
+    # limit while chunk 512 (est 108 MB) degrades to 775
+    # (docs/ab/stream_chunk_s10k.json).  101 MB admits the measured
+    # optimum and rejects the degraded band;
+    # tools/vmem_boundary.py re-verifies compile-or-fallback on chip
+    # every sweep.
+    return est <= 101 * 1024 * 1024
 
 
 # ----------------------------------------------------------------------
@@ -678,14 +683,47 @@ def _bwd_stream(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
 # Fused fwd+bwd entry
 # ----------------------------------------------------------------------
 
+# Above this state width the per-grid-step overhead dominates the
+# stream and the chunk must MINIMIZE grid steps; below it the chunk
+# basin is measured flat (s5k: 22.6-23.3 ms across chunks 8-256, s8k:
+# 55.6 ms at 128).  Measured at s_pad 10112 (B=128 T=500 bf16,
+# docs/ab/stream_chunk_s10k.json): chunk 128 (G=13) 331 utts/s, 192
+# (G=9) 436, 224 (G=8) 476, 256 (G=7) 549, 320 (G=5) 1096, 400 (G=4)
+# 1143, 512 (G=4, est 108 MB) 775 — the slide is pure grid-step
+# overhead until the VMEM plan saturates.
+STREAM_BIG_SPAD = 9216
+
+
 def auto_chunk_tiles(fa: FactorizedArrays, b_tile: int = 128) -> int:
-    """Chunk size adapted to the graph: ~1/8 of the streamed tiles
-    (the measured S=8000 optimum — 1024 tiles -> 128 — sits at that
-    ratio with a shallow basin, docs/DESIGN.md), as a power of two
-    clamped to [32, CHUNK_TILES], then halved until the double buffer
-    fits the same VMEM budget that admits the graph (so the estimate
-    that admitted it and the buffers the kernel allocates agree)."""
+    """Chunk size adapted to the graph.
+
+    Small/medium graphs (s_pad <= STREAM_BIG_SPAD): ~1/8 of the
+    streamed tiles (the measured S=8000 optimum — 1024 tiles -> 128 —
+    sits at that ratio with a shallow basin, docs/DESIGN.md), as a
+    power of two clamped to [32, CHUNK_TILES], then halved until the
+    double buffer fits the same VMEM budget that admits the graph (so
+    the estimate that admitted it and the buffers the kernel
+    allocates agree).
+
+    Large graphs (s_pad > STREAM_BIG_SPAD): per-grid-step overhead
+    dominates (see STREAM_BIG_SPAD), so pick the LARGEST admissible
+    chunk that minimizes the grid-step count G — try G=4,5,6,... and
+    return the first whose double buffer the budget admits (measured
+    3.5x at s_pad 10112: 1143 utts/s at the G=4 chunk vs 331 at the
+    old power-of-two 128)."""
     n = max(1, int(fa.w1.tiles.shape[0]))
+    s_pad = int(fa.s_pad)
+    if s_pad > STREAM_BIG_SPAD:
+        for g in range(4, 33):
+            per_step = (n + g - 1) // g
+            c = ((per_step + 7) // 8) * 8       # ceil(n/g), mult of 8
+            if c <= 0:
+                break
+            if c <= CHUNK_TILES * 4 and fits_stream(
+                    fa, b_tile, chunk_tiles=c):
+                return c
+        # nothing admissible in the large-chunk band: fall through to
+        # the clamping policy below
     c = 1 << max(5, min(int(CHUNK_TILES).bit_length() - 1,
                         (n // 8).bit_length() - 1))
     while c > 8 and not fits_stream(fa, b_tile, chunk_tiles=c):
