@@ -218,6 +218,22 @@ def test_auto_chunk_tiles(setup):
             fa.w1, tiles=jnp.zeros((1024, 128, 128), fa.w1.tiles.dtype),
             rows=tuple(range(64)) * 16, cols=tuple(range(64)) * 16))
     assert auto_chunk_tiles(big) == 128
+    # past STREAM_BIG_SPAD the per-grid-step overhead dominates
+    # (measured: 331 utts/s at chunk 128/G=13 vs 1143 at 400/G=4,
+    # s_pad 10112 — docs/ab/stream_chunk_s10k.json), so the policy
+    # flips to minimizing G: 1600 tiles -> ceil(1600/4) = 400
+    huge = dataclasses.replace(
+        big,
+        w1=dataclasses.replace(
+            big.w1, tiles=jnp.zeros((1600, 128, 128),
+                                    fa.w1.tiles.dtype),
+            rows=tuple(range(64)) * 25, cols=tuple(range(64)) * 25),
+        initial=jnp.zeros((10112,), jnp.float32),
+        final=jnp.zeros((10112,), jnp.float32),
+        leaky=jnp.zeros((10112,), jnp.float32))
+    c_huge = auto_chunk_tiles(huge)
+    assert c_huge == 400, c_huge
+    assert fits_stream(huge, chunk_tiles=c_huge)
     # explicit oversize chunk still runs (clamped to the budget)
     got = forward_backward_prob_stream(x, lengths, fa, chunk_tiles=4096)
     ref = forward_backward_prob_fact(x, lengths, fa)

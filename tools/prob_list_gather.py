@@ -54,8 +54,9 @@ def main():
         P = max(P, p)
     max_k = max(g.num_transitions for g in graphs)
     max_s = max(g.num_states for g in graphs)
+    tile_dtype = _arg("--tile-dtype", "float32")
     batch = ChainGraphBatch(graphs, max_num_transitions=max_k,
-                            max_num_states=max_s)
+                            max_num_states=max_s, tile_dtype=tile_dtype)
     print(f"# B={B} S={max_s} K={max_k} T={T} P={P}", file=sys.stderr)
 
     x = jnp.asarray(rng.randn(B, T, P).astype(np.float32) * 0.2)

@@ -283,12 +283,18 @@ def main():
         regressions = []
         for stage, impls in deltas.items():
             for impl, (p, n, ratio) in impls.items():
-                # >2x with >30s absolute growth is a stage failure to
-                # triage, not a warning to scroll past (VERDICT r4 #8;
-                # the absolute floor keeps 3s->7s tunnel jitter on tiny
-                # compiles from failing a sweep).  Override with
+                # >3x with >90s absolute growth is a stage failure to
+                # triage, not a warning to scroll past (VERDICT r4 #8).
+                # The floors are set by measurement: compile work runs
+                # on the axon remote-compile SERVER, whose cache is
+                # ambient (the per-sweep client cache dir stays empty —
+                # remote executables never reach it), and identical
+                # code has measured 10s -> 60s swings sweep-to-sweep
+                # (SWEEP_r5 bench_xlstream) while the one real
+                # pathology on record (719s bench_semiring, SWEEP_r4)
+                # clears any sane floor.  Override with
                 # --ignore-compile-regressions after triage.
-                if ratio > 2.0 and n - p > 30.0:
+                if ratio > 3.0 and n - p > 90.0:
                     regressions.append(f"{stage}/{impl}: "
                                        f"{p:.0f}s -> {n:.0f}s ({ratio}x)")
                 elif ratio > 2.0:
