@@ -693,6 +693,15 @@ def _bwd_stream(fa: FactorizedArrays, ad_ys, w1ad_ys, xdst_ys, xsrc_ys,
 # overhead until the VMEM plan saturates.
 STREAM_BIG_SPAD = 9216
 
+# Mosaic's remote compile helper crashes (HTTP 500, helper exit 1) on
+# large chunk x wide-pdf kernels: measured at s_pad 10112 / p_pad 10112
+# (79 pdf tiles), chunk 320 compiles and runs 953 utts/s while chunk
+# 400 kills the helper deterministically at EITHER batch width; the
+# same chunk 400 compiles fine at p_pad 4096 (32 tiles).  The VMEM
+# estimate does not discriminate (both ~84-101 MB), so the gate is the
+# measured product boundary: chunk_tiles * pdf_tiles <= 320 * 79.
+STREAM_CHUNK_P_CAP = 320 * 79
+
 
 def auto_chunk_tiles(fa: FactorizedArrays, b_tile: int = 128) -> int:
     """Chunk size adapted to the graph.
@@ -713,14 +722,16 @@ def auto_chunk_tiles(fa: FactorizedArrays, b_tile: int = 128) -> int:
     old power-of-two 128)."""
     n = max(1, int(fa.w1.tiles.shape[0]))
     s_pad = int(fa.s_pad)
+    p_tiles = max(1, int(fa.p_pad) // 128)
     if s_pad > STREAM_BIG_SPAD:
         for g in range(4, 33):
             per_step = (n + g - 1) // g
             c = ((per_step + 7) // 8) * 8       # ceil(n/g), mult of 8
             if c <= 0:
                 break
-            if c <= CHUNK_TILES * 4 and fits_stream(
-                    fa, b_tile, chunk_tiles=c):
+            if (c <= CHUNK_TILES * 4
+                    and c * p_tiles <= STREAM_CHUNK_P_CAP
+                    and fits_stream(fa, b_tile, chunk_tiles=c)):
                 return c
         # nothing admissible in the large-chunk band: fall through to
         # the clamping policy below
