@@ -56,7 +56,7 @@ import tempfile
 _SWEEP_CACHE = tempfile.mkdtemp(prefix="tpu_sweep_jaxcache_")
 
 
-def run(cmd, timeout, env=None):
+def run(cmd, timeout, env=None, _retried=False):
     t0 = time.time()
     try:
         env = dict(env or os.environ)
@@ -64,6 +64,21 @@ def run(cmd, timeout, env=None):
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=timeout, cwd=REPO,
                               env=env)
+        # the S-10k stream compiles can leave the tunnel's TPU worker
+        # restarting; the NEXT stage then fails with UNAVAILABLE even
+        # though its own workload is healthy (both r5 sweep runs: the
+        # stage after vmem_boundary absorbed the restart, and passed
+        # standalone).  Retry such a stage once after the worker
+        # settles.
+        if (proc.returncode != 0 and not _retried
+                and "worker process crashed or restarted"
+                in (proc.stderr or "")):
+            print(f"[retry] {cmd[-1]}: TPU worker restart absorbed; "
+                  f"retrying once", file=sys.stderr)
+            time.sleep(30)
+            r = run(cmd, timeout, env=env, _retried=True)
+            r["retried_after_worker_restart"] = True
+            return r
         r = {"cmd": " ".join(cmd), "rc": proc.returncode,
              "secs": round(time.time() - t0, 1),
              "stdout": proc.stdout[-4000:],
