@@ -298,18 +298,21 @@ def main():
         regressions = []
         for stage, impls in deltas.items():
             for impl, (p, n, ratio) in impls.items():
-                # >3x with >90s absolute growth is a stage failure to
-                # triage, not a warning to scroll past (VERDICT r4 #8).
-                # The floors are set by measurement: compile work runs
-                # on the axon remote-compile SERVER, whose cache is
-                # ambient (the per-sweep client cache dir stays empty —
-                # remote executables never reach it), and identical
-                # code has measured 10s -> 60s swings sweep-to-sweep
-                # (SWEEP_r5 bench_xlstream) while the one real
-                # pathology on record (719s bench_semiring, SWEEP_r4)
-                # clears any sane floor.  Override with
+                # A large regression is a stage failure to triage, not
+                # a warning to scroll past (VERDICT r4 #8) — but the
+                # floors must sit above the backend's measured A/A
+                # noise.  Compile work runs on the axon remote-compile
+                # SERVER, whose cache is ambient (the per-sweep client
+                # cache dir stays empty — remote executables never
+                # reach it), and two back-to-back r5 sweeps of
+                # IDENTICAL code measured 31s -> 407s (13.2x) on
+                # bench_s8k/pallas and 61s -> 209s (3.4x) on
+                # bench_headline/factorized.  The one real pathology
+                # on record (719s bench_semiring, SWEEP_r4 = 80x over
+                # its r3 twin) clears 20x/+300s by a wide margin; the
+                # A/A noise does not.  Override with
                 # --ignore-compile-regressions after triage.
-                if ratio > 3.0 and n - p > 90.0:
+                if ratio > 20.0 and n - p > 300.0:
                     regressions.append(f"{stage}/{impl}: "
                                        f"{p:.0f}s -> {n:.0f}s ({ratio}x)")
                 elif ratio > 2.0:
