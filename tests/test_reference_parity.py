@@ -283,3 +283,34 @@ def test_parity_streamed_xl_semiring_log_domain(monkeypatch):
     assert abs(float(objf) - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
     np.testing.assert_allclose(np.asarray(res.gamma), ref_grad,
                                rtol=2e-3, atol=2e-5)
+
+
+def test_parity_dense_list_prob_domain():
+    """The dense-batched LIST engine (round 5) vs the reference CPU
+    engine on per-sequence prob-domain (leaky-HMM) graphs — the
+    reference's batched-graph denominator capability
+    (chain-kernels.cu:112-169, CPU twin chain-computation.cc), served
+    here as per-graph dense MXU blocks (ops/dense_list.py)."""
+    rng = np.random.RandomState(21)
+    B, T = 4, 15
+    graphs = []
+    for i in range(B):
+        fst, p = _testgraph_denominator(num_phones=4 + i, seed=10 + i)
+        graphs.append(ChainGraph(fst, log_domain=False))
+    P = max(g.num_pdfs for g in graphs)
+    batch = ChainGraphBatch(
+        graphs,
+        max_num_transitions=max(g.num_transitions for g in graphs),
+        max_num_states=max(g.num_states for g in graphs))
+    lengths = np.array([15, 12, 8, 3], np.int32)
+    x = rng.randn(B, T, P).astype(np.float32)
+
+    ref_objf, ref_grad, ref_ok = _ref_forward_backward(batch, x, lengths)
+    objf, res = chain_function_with_aux(
+        jnp.asarray(x), jnp.asarray(lengths), batch, impl="dense_list")
+    from pychain_tpu.ops.dense_list import DenseListArrays
+    assert isinstance(batch._dense_list, DenseListArrays)
+    assert ref_ok and np.all(np.asarray(res.ok))
+    assert abs(float(objf) - ref_objf) / max(1.0, abs(ref_objf)) < 1e-4
+    np.testing.assert_allclose(np.asarray(res.gamma), ref_grad,
+                               rtol=2e-3, atol=2e-5)
